@@ -1,0 +1,85 @@
+"""Typed GEMM tiling configuration.
+
+TPU-native counterpart of two reference structures:
+
+* the 28-field JIT ``Config`` (``framework/csrc/jit/get_best_config.hpp:8-31``
+  — L1 tile blocks, tails, per-core partition). On TPU the Pallas pipeline
+  subsumes the tail/partition bookkeeping (``m_o_fix``/``r_m_blocks`` etc.),
+  so the config reduces to the three block sizes + kernel-family knobs.
+* ``TilingParams`` (``aclnn_.../op_host/op_tiling/tiling_params.h:16-68`` —
+  m1/n1/k1, swizzle offset/direction, splitkFactor, kernelSerial).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+
+class KernelType(enum.IntEnum):
+    """Kernel family, mirroring the reference's handler-chain outcomes.
+
+    Reference: ``CatlassKernelType`` (``op_kernel/kernel/kernel_utils.h:26-40``)
+    and the selector chain (``op_tiling/select_kernel.cpp:333-369``). On TPU
+    there is no padding family — BlockSpec handles ragged tails — so the
+    surviving families are SMALL (single grid cell), COMMON (2-D output grid
+    with sequential K), and KSPLIT (K parallelized over the grid with a
+    reduction epilogue, covering the reference's split-K/stream-K role).
+    """
+
+    SMALL = 0
+    COMMON = 1
+    KSPLIT = 2
+
+
+class SwizzleDir(enum.IntEnum):
+    """Output-tile traversal major order (≙ swizzleDirection,
+    ``tiling_params.h:30`` / ``DynamicGemmIdentityBlockSwizzle``)."""
+
+    M_MAJOR = 0  # iterate n fastest
+    N_MAJOR = 1  # iterate m fastest
+
+
+@dataclasses.dataclass(frozen=True)
+class GemmConfig:
+    """Static tiling parameters for one Pallas GEMM instantiation.
+
+    Hashable and usable as a jit static argument — the TPU analogue of the
+    reference's shape-keyed compile cache signature
+    (``framework/csrc/jit/compiler.hpp:29`` ``"b{}m{}n{}k{}_type{}"``).
+    """
+
+    block_m: int = 256
+    block_n: int = 256
+    block_k: int = 512
+    kernel_type: KernelType = KernelType.COMMON
+    k_split: int = 1                     # > 1 only for KSPLIT
+    swizzle: SwizzleDir = SwizzleDir.M_MAJOR
+    swizzle_group: int = 0               # 0 = plain raster order
+    vmem_limit_bytes: int = 0            # 0 = compiler default
+
+    def __post_init__(self):
+        if self.block_m <= 0 or self.block_n <= 0 or self.block_k <= 0:
+            raise ValueError(f"block sizes must be positive: {self}")
+        if self.k_split < 1:
+            raise ValueError(f"k_split must be >= 1: {self}")
+        if self.kernel_type != KernelType.KSPLIT and self.k_split != 1:
+            raise ValueError(f"k_split > 1 requires KSPLIT kernel: {self}")
+
+    def replace(self, **kw: Any) -> "GemmConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["kernel_type"] = int(self.kernel_type)
+        d["swizzle"] = int(self.swizzle)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GemmConfig":
+        d = dict(d)
+        d["kernel_type"] = KernelType(d.get("kernel_type", 1))
+        d["swizzle"] = SwizzleDir(d.get("swizzle", 0))
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,240 @@
+"""Analytic tiling model — tier 1 of the three-tier tiling system.
+
+TPU-native re-derivation of the reference's analytic tiler
+(``aclnn_.../op_host/op_tiling/do_tiling.cpp:20-204`` — ``DoTilingLayout*``,
+``BalanceWorkload``, ``JudgeSpace``, ``GetMaxK1``) and of the JIT-path
+heuristic (``framework/csrc/jit/get_best_config.hpp:33-91``). The *logic*
+carries over — enumerate legal tiles under on-chip-memory constraints, then
+pick the one minimizing a roofline time estimate — but the constants are TPU:
+VMEM instead of L1/L0, the 128×128 MXU instead of the 16×16 cube block, and
+Pallas's automatic double-buffered pipeline instead of hand-managed TQue
+double buffering (``mmad_jit.cpp:137-151``).
+
+Unlike the reference's single default ansatz (m1×n1×k1 = 128×256×256,
+``do_tiling.cpp:25``) we score a small legal grid with an explicit
+max(compute, memory) roofline — this is cheap (≲ a few hundred candidates)
+and replaces the empirical bandwidth polynomial (``select_kernel.cpp:22-80``)
+with a first-principles HBM traffic model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, Sequence
+
+import jax.numpy as jnp
+
+from ..config import GemmConfig, KernelType, SwizzleDir
+from ..utils.common import ceil_div, round_up
+from . import platform as plat
+
+# Fraction of VMEM the pipeline may occupy. Mosaic needs headroom for
+# spills/semaphores; mirrors the reference's L1 512KB hard cap in JudgeSpace
+# (`op_tiling/utils.cpp:28-47`) being checked against full capacity while
+# L0C had its own slack.
+VMEM_FRACTION = 0.8
+
+
+def vmem_footprint(
+    bm: int, bn: int, bk: int,
+    a_itemsize: int, b_itemsize: int, out_itemsize: int,
+    acc_itemsize: int = 4,
+    extra_bytes: int = 0,
+) -> int:
+    """Bytes of VMEM used by one pipelined grid step.
+
+    Pallas double-buffers every input/output block (the TPU analogue of the
+    reference's L1 double buffer, `mmad_jit.cpp:137-151`); the fp32
+    accumulator scratch is single-buffered.
+    """
+    a = bm * bk * a_itemsize
+    b = bk * bn * b_itemsize
+    o = bm * bn * out_itemsize
+    acc = bm * bn * acc_itemsize
+    return 2 * (a + b + o) + acc + extra_bytes
+
+
+def judge_space(
+    bm: int, bn: int, bk: int,
+    a_itemsize: int, b_itemsize: int, out_itemsize: int,
+    info: plat.PlatformInfo | None = None,
+    extra_bytes: int = 0,
+) -> bool:
+    """True iff the tile triple fits the VMEM budget.
+
+    ≙ reference ``JudgeSpace`` (`op_tiling/utils.cpp:28-47`): L1 ≤ 512KB with
+    A+B double buffered and L0C ≤ 128KB, re-expressed for VMEM.
+    """
+    info = info or plat.detect()
+    used = vmem_footprint(bm, bn, bk, a_itemsize, b_itemsize, out_itemsize,
+                          extra_bytes=extra_bytes)
+    return used <= int(info.vmem_bytes * VMEM_FRACTION)
+
+
+def get_max_block_k(
+    bm: int, bn: int,
+    a_itemsize: int, b_itemsize: int, out_itemsize: int,
+    k: int,
+    info: plat.PlatformInfo | None = None,
+    granularity: int = 128,
+) -> int:
+    """Largest block_k (multiple of ``granularity``) fitting VMEM.
+
+    ≙ reference ``GetMaxK1`` (`op_tiling/utils.cpp:66-77`): largest
+    k1 ∈ {1024,512,256,128} that fits L1.
+    """
+    info = info or plat.detect()
+    best = granularity
+    for cand in (4096, 2048, 1024, 512, 256, 128):
+        if cand % granularity:
+            continue
+        if cand > round_up(k, granularity):
+            continue
+        if judge_space(bm, bn, cand, a_itemsize, b_itemsize, out_itemsize, info):
+            best = max(best, cand)
+    return best
+
+
+@dataclasses.dataclass(frozen=True)
+class _Estimate:
+    time_s: float
+    compute_s: float
+    memory_s: float
+    vmem_bytes: int
+
+
+def estimate_time(
+    m: int, n: int, k: int,
+    bm: int, bn: int, bk: int,
+    a_itemsize: int, b_itemsize: int, out_itemsize: int,
+    info: plat.PlatformInfo,
+    in_dtype=jnp.bfloat16,
+) -> _Estimate:
+    """Roofline time estimate for one tiling candidate.
+
+    Compute: padded MACs at MXU peak (padding waste is real waste — the MXU
+    runs the full tile). Memory: A panel is re-read once per n-supertile, B
+    once per m-supertile, C written once. This replaces the reference's
+    empirical DMA bandwidth polynomial (`select_kernel.cpp:22-80`) with an
+    explicit traffic model.
+    """
+    nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
+    padded_flops = 2.0 * (nm * bm) * (nn * bn) * (nk * bk)
+    compute_s = padded_flops / info.peak_flops(in_dtype)
+
+    # Output-stationary raster with k innermost: the A panel (bm × K) is
+    # streamed once per (i, j) pair → A traffic = nn · M·K; likewise the B
+    # panel is streamed once per i → B traffic = nm · K·N. Larger bn cuts A
+    # re-reads, larger bm cuts B re-reads — the roofline scorer trades those
+    # against VMEM, replacing the reference's empirical bandwidth polynomial.
+    a_bytes = nn * (nm * bm) * (nk * bk) * a_itemsize
+    b_bytes = nm * (nk * bk) * (nn * bn) * b_itemsize
+    c_bytes = (nm * bm) * (nn * bn) * out_itemsize
+    memory_s = (a_bytes + b_bytes + c_bytes) / (info.hbm_gbps * 1e9)
+
+    vmem = vmem_footprint(bm, bn, bk, a_itemsize, b_itemsize, out_itemsize)
+    # Pipeline can't hide whichever is smaller; small grids underutilize.
+    steps = nm * nn * nk
+    startup = 3e-6 + 1e-7 * steps  # launch + per-step grid overhead
+    return _Estimate(max(compute_s, memory_s) + startup, compute_s, memory_s, vmem)
+
+
+def _aligned_candidates(dim: int, align: int, caps: Sequence[int]) -> list[int]:
+    """Legal block sizes for one dimension: aligned, ≤ padded dim."""
+    hi = round_up(dim, align)
+    out = [c for c in caps if c % align == 0 and c <= hi]
+    if round_up(dim, align) not in out and round_up(dim, align) <= max(caps):
+        out.append(round_up(dim, align))
+    return sorted(set(out)) or [align]
+
+
+def enumerate_candidates(
+    m: int, n: int, k: int,
+    a_itemsize: int, b_itemsize: int, out_itemsize: int,
+    info: plat.PlatformInfo,
+    k_granularity: int = 128,
+) -> list[tuple[int, int, int]]:
+    """Legal (bm, bn, bk) grid under alignment + VMEM constraints.
+
+    ≙ reference candidate generator ``CatlassParameter.grid_generate_parameters``
+    (`get_best_config/catlass_parameter.py:14-120`) with TPU constraints:
+    lane-dim blocks are multiples of 128, sublane-dim blocks multiples of the
+    dtype min tile, everything fits VMEM_FRACTION of VMEM.
+    """
+    sub_a = plat._SUBLANES.get(a_itemsize, 8)
+    bm_caps = (16, 32, 64, 128, 256, 512, 1024)
+    bn_caps = (128, 256, 512, 1024, 2048)
+    bk_caps = (128, 256, 512, 1024, 2048, 4096)
+    hi_m = round_up(m, sub_a)
+    bms = {c for c in bm_caps if c % sub_a == 0 and c <= max(hi_m, 128)}
+    if hi_m <= max(bm_caps):
+        bms.add(hi_m)  # exact skinny-M tile (decode GEMMs: m = 8, 64, …)
+    bms = sorted(bms) or [sub_a]
+    bns = _aligned_candidates(n, info.lane, bn_caps)
+    bks = [c for c in bk_caps if c % k_granularity == 0 and c <= round_up(k, k_granularity)]
+    if not bks:
+        bks = [round_up(k, k_granularity)]
+    out = []
+    for bm in bms:
+        for bn in bns:
+            for bk in bks:
+                if judge_space(bm, bn, bk, a_itemsize, b_itemsize, out_itemsize, info):
+                    out.append((bm, bn, bk))
+    return out
+
+
+def select_kernel_type(
+    m: int, n: int, k: int, bm: int, bn: int, bk: int,
+    info: plat.PlatformInfo,
+) -> tuple[KernelType, int]:
+    """Kernel-family choice, same handler-chain shape as the reference.
+
+    ≙ ``SelectKernel`` first-match chain (`select_kernel.cpp:333-369`):
+    small → stream-k → padding → common. TPU drops the padding family
+    (BlockSpec masks tails) and gates KSPLIT on megacore utilisation: with a
+    single TensorCore the grid is sequential and split-K only adds reduce
+    traffic.
+    """
+    nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
+    if nm == 1 and nn == 1 and nk == 1:
+        return KernelType.SMALL, 1
+    if info.num_cores > 1 and nm * nn < info.num_cores and nk >= 2 * info.num_cores:
+        return KernelType.KSPLIT, min(info.num_cores, nk)
+    return KernelType.COMMON, 1
+
+
+@functools.lru_cache(maxsize=4096)
+def get_best_config(
+    m: int, n: int, k: int,
+    a_itemsize: int = 2, b_itemsize: int = 2, out_itemsize: int = 4,
+    k_granularity: int = 128,
+    device_kind: str | None = None,
+) -> GemmConfig:
+    """Analytic best tile for an (m, n, k) problem.
+
+    Role of the reference's ``get_best_config`` (`csrc/jit/get_best_config.hpp:33`)
+    and ``DoTiling`` dispatch (`do_tiling.h:24-26`), TPU constants. Results are
+    memoized per shape — the in-process analogue of the reference's in-memory
+    tiling cache (`op_tiling/cache.cpp:22-101`); the persistent tier lives in
+    ``tiling.cache``.
+    """
+    info = plat.detect()
+    in_dtype = {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]
+    best, best_est = None, None
+    for bm, bn, bk in enumerate_candidates(
+            m, n, k, a_itemsize, b_itemsize, out_itemsize, info, k_granularity):
+        est = estimate_time(m, n, k, bm, bn, bk,
+                            a_itemsize, b_itemsize, out_itemsize, info, in_dtype)
+        if best_est is None or est.time_s < best_est.time_s:
+            best, best_est = (bm, bn, bk), est
+    if best is None:  # degenerate fallback: minimal legal tile
+        sub_a = plat._SUBLANES.get(a_itemsize, 8)
+        best = (max(sub_a, 128), 128, k_granularity)
+    bm, bn, bk = best
+    ktype, ksplit = select_kernel_type(m, n, k, bm, bn, bk, info)
+    # N-major swizzle when the n extent dwarfs m — mirrors the reference's
+    # swizzleDirection = m > n ? 0 : 1 (`tiling_params.h:63-64`).
+    swz = SwizzleDir.M_MAJOR if m >= n else SwizzleDir.N_MAJOR
+    return GemmConfig(block_m=bm, block_n=bn, block_k=bk,
+                      kernel_type=ktype, k_split=ksplit, swizzle=swz)

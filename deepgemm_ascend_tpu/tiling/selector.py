@@ -1,0 +1,76 @@
+"""Three-tier tiling selection front door.
+
+Same decision shape as the reference's ``SelectKernelWithCache`` →
+(predictor) → analytic chain (``op_tiling/select_kernel.cpp:333-388``,
+predictor bridge ``op_tiling/predictor.cpp:36-157``):
+
+    persistent/autotuned cache  →  learned predictor (optional)  →  analytic.
+
+The winning config is written back to the in-memory cache so repeat shapes
+are O(1) — exactly the reference cache discipline (`cache.cpp:69-101`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import GemmConfig
+from . import analytic
+from .cache import TilingCache, cache_key, global_cache
+
+# Optional learned predictor; registered lazily by tiling.predictor to avoid
+# importing the model stack on the serving hot path.
+_predictor = None
+
+
+def register_predictor(predictor) -> None:
+    """Install a learned cost predictor (tier 2).
+
+    ≙ ``Predictor::UsePredictApi`` gating (`predictor.h:21-44`) — presence of
+    the predictor is optional and the analytic tier is always the fallback.
+    """
+    global _predictor
+    _predictor = predictor
+
+
+def select_config(
+    m: int, n: int, k: int,
+    in_dtype=jnp.bfloat16,
+    out_dtype=jnp.float32,
+    *,
+    op: str = "gemm",
+    k_granularity: int = 128,
+    cache: Optional[TilingCache] = None,
+    override: Optional[GemmConfig] = None,
+) -> GemmConfig:
+    """Resolve the tile config for a GEMM problem.
+
+    ``override`` short-circuits everything (≙ the bench path where tiling
+    knobs come from the caller, `gemm_bench.hpp:49-113`).
+    """
+    if override is not None:
+        return override
+    in_dt, out_dt = jnp.dtype(in_dtype), jnp.dtype(out_dtype)
+    key = cache_key(op, m, n, k, in_dt.name, out_dt.name, f"g{k_granularity}")
+    cache = cache if cache is not None else global_cache()
+
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+
+    if _predictor is not None:
+        cfg = _predictor.predict(m, n, k, in_dt, out_dt, op=op)
+        if cfg is not None:
+            cache.set(key, cfg, persist=False)
+            return cfg
+
+    cfg = analytic.get_best_config(
+        m, n, k,
+        a_itemsize=in_dt.itemsize, b_itemsize=in_dt.itemsize,
+        out_itemsize=out_dt.itemsize,
+        k_granularity=k_granularity,
+    )
+    cache.set(key, cfg, persist=False)  # analytic results are re-derivable
+    return cfg
