@@ -1,0 +1,15 @@
+from .attention import AttentionParams, KVCache, attention
+from .config import TINY, V2_LITE, ModelConfig
+from .layers import BF16Linear, Fp8Linear, rms_norm
+from .model import (DenseFFN, LayerParams, ModelParams, decode_step, forward,
+                    init_cache, init_params)
+from .moe import ExpertWeights, MoEParams, dispatch_masked, moe_block, route_topk
+
+__all__ = [
+    "AttentionParams", "KVCache", "attention",
+    "TINY", "V2_LITE", "ModelConfig",
+    "BF16Linear", "Fp8Linear", "rms_norm",
+    "DenseFFN", "LayerParams", "ModelParams", "decode_step", "forward",
+    "init_cache", "init_params",
+    "ExpertWeights", "MoEParams", "dispatch_masked", "moe_block", "route_topk",
+]

@@ -1,0 +1,124 @@
+"""GQA attention with INT8-quantized KV cache.
+
+Decode-oriented: the KV cache is stored int8 with per-(token, head) scales
+(quantize on write, dequantize inside the attention contraction — the cache
+never exists in high precision). Attention math runs in XLA: at decode
+shapes (q_len = 1..few) the contraction is bandwidth-bound and XLA's fusion
+of ``int8 → f32 · scale`` into the einsum is near-roofline; a Pallas
+flash-decode kernel is a later optimization, not a correctness need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import quant
+from .config import ModelConfig
+from .layers import Fp8Linear, apply_rope
+
+
+@dataclasses.dataclass
+class KVCache:
+    """Per-layer int8 KV cache. Shapes: (batch, max_seq, kv_heads, head_dim)."""
+
+    k_q: jax.Array       # int8
+    k_s: jax.Array       # (batch, max_seq, kv_heads, 1) f32
+    v_q: jax.Array
+    v_s: jax.Array
+
+    @classmethod
+    def create(cls, batch: int, max_seq: int, kv_heads: int,
+               head_dim: int) -> "KVCache":
+        z8 = jnp.zeros((batch, max_seq, kv_heads, head_dim), jnp.int8)
+        zs = jnp.zeros((batch, max_seq, kv_heads, 1), jnp.float32)
+        return cls(k_q=z8, k_s=zs, v_q=jnp.copy(z8), v_s=jnp.copy(zs))
+
+    def update(self, k_new: jax.Array, v_new: jax.Array,
+               positions: jax.Array) -> "KVCache":
+        """Write new tokens. k_new/v_new: (batch, s_new, kv_heads, hd);
+        positions: (batch, s_new) int32 absolute slots."""
+        k_q, k_s = quant.quantize_int8(k_new, axis=-1)
+        v_q, v_s = quant.quantize_int8(v_new, axis=-1)
+        b_idx = jnp.arange(k_new.shape[0])[:, None]
+        return KVCache(
+            k_q=self.k_q.at[b_idx, positions].set(k_q),
+            k_s=self.k_s.at[b_idx, positions].set(k_s),
+            v_q=self.v_q.at[b_idx, positions].set(v_q),
+            v_s=self.v_s.at[b_idx, positions].set(v_s),
+        )
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k_q", "k_s", "v_q", "v_s"], meta_fields=[])
+
+
+@dataclasses.dataclass
+class AttentionParams:
+    wq: Fp8Linear        # (hidden, heads·hd)
+    wk: Fp8Linear        # (hidden, kv_heads·hd)
+    wv: Fp8Linear
+    wo: Fp8Linear        # (heads·hd, hidden)
+
+    @classmethod
+    def create(cls, key, cfg: ModelConfig) -> "AttentionParams":
+        ks = jax.random.split(key, 4)
+        return cls(
+            wq=Fp8Linear.create(ks[0], cfg.hidden_size, cfg.q_dim),
+            wk=Fp8Linear.create(ks[1], cfg.hidden_size, cfg.kv_dim),
+            wv=Fp8Linear.create(ks[2], cfg.hidden_size, cfg.kv_dim),
+            wo=Fp8Linear.create(ks[3], cfg.q_dim, cfg.hidden_size),
+        )
+
+
+jax.tree_util.register_dataclass(
+    AttentionParams, data_fields=["wq", "wk", "wv", "wo"], meta_fields=[])
+
+
+def attention(
+    params: AttentionParams,
+    x: jax.Array,                  # (batch, s, hidden) bf16
+    cache: KVCache,
+    positions: jax.Array,          # (batch, s) int32 absolute positions
+    seq_lens: jax.Array,           # (batch,) int32 valid cache length AFTER update
+    cfg: ModelConfig,
+    *,
+    tp_heads: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Causal GQA over the int8 cache. Works for prefill (s = prompt) and
+    decode (s = 1) with the same code path; ``tp_heads`` overrides the local
+    head count under tensor parallelism (params already sharded)."""
+    b, s, _ = x.shape
+    heads = tp_heads if tp_heads is not None else cfg.num_heads
+    kv_heads = max(cfg.num_kv_heads * heads // cfg.num_heads, 1)
+    hd = cfg.head_dim
+
+    q = params.wq(x).reshape(b, s, heads, hd)
+    k = params.wk(x).reshape(b, s, kv_heads, hd)
+    v = params.wv(x).reshape(b, s, kv_heads, hd)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+
+    cache = cache.update(k.astype(jnp.float32), v.astype(jnp.float32),
+                         positions)
+
+    # Dequantize-in-contraction: int8 cache → f32 · scale.
+    kf = cache.k_q.astype(jnp.float32) * cache.k_s     # (b, S, kvh, hd)
+    vf = cache.v_q.astype(jnp.float32) * cache.v_s
+    group = heads // kv_heads
+    qf = q.astype(jnp.float32).reshape(b, s, kv_heads, group, hd)
+
+    logits = jnp.einsum("bsKgd,bTKd->bsKgT", qf, kf) / (hd ** 0.5)
+    max_seq = kf.shape[1]
+    t_idx = jnp.arange(max_seq)[None, None, :]                   # (1,1,S)
+    causal = t_idx[:, 0] <= positions[:, :, None]                # (b,s,S)
+    valid = t_idx[:, 0] < seq_lens[:, None, None]                # (b,1,S)→(b,s,S)
+    mask = (causal & valid)[:, :, None, None, :]                 # (b,s,1,1,S)
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bsKgT,bTKd->bsKgd", probs, vf)
+    out = out.reshape(b, s, heads * hd).astype(jnp.bfloat16)
+    return params.wo(out), cache

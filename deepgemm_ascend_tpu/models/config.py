@@ -1,0 +1,56 @@
+"""Model configuration for the serving slice.
+
+DeepSeek-V2-Lite-style geometry (the north-star E2E workload): MoE decoder
+with FP8 weights and INT8 KV-cache. The reference repo has no model layer
+(SURVEY.md §1 "absent" list) — this realizes BASELINE.json config 5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32768
+    hidden_size: int = 2048
+    num_layers: int = 4
+    num_heads: int = 16
+    num_kv_heads: int = 4            # GQA
+    head_dim: int = 128
+    # MoE (DeepSeek-V2-Lite: 64 routed + 2 shared, top-6, inter 1408)
+    num_experts: int = 16
+    num_shared_experts: int = 1
+    top_k: int = 4
+    moe_intermediate: int = 1408
+    first_dense_layers: int = 1      # dense FFN for the first k layers
+    dense_intermediate: int = 5632
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    max_seq_len: int = 4096
+    # quantization
+    fp8_weights: bool = True
+    int8_kv: bool = True
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# Small config for tests / dry runs.
+TINY = ModelConfig(
+    vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+    num_kv_heads=2, head_dim=64, num_experts=8, num_shared_experts=1,
+    top_k=2, moe_intermediate=256, first_dense_layers=1,
+    dense_intermediate=512, max_seq_len=256)
+
+# DeepSeek-V2-Lite-like (for benches; fits one v5e chip in fp8)
+V2_LITE = ModelConfig(
+    vocab_size=32768, hidden_size=2048, num_layers=8, num_heads=16,
+    num_kv_heads=4, head_dim=128, num_experts=32, num_shared_experts=1,
+    top_k=6, moe_intermediate=1408, first_dense_layers=1,
+    dense_intermediate=10944, max_seq_len=4096)

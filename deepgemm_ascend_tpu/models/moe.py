@@ -1,0 +1,186 @@
+"""MoE block: top-k routing + masked grouped FP8 GEMM experts.
+
+DeepSeek-style: routed experts + always-on shared expert(s), SwiGLU inside
+each expert, FP8 blockwise weights. Dispatch uses the fixed-shape masked
+grouped kernel (ops/grouped_gemm.py) for BOTH prefill and decode so the
+whole step stays shape-static under jit (the "CUDA-graph-style" property
+BASELINE.json asks for): capacity per expert = total token count, masked_m
+says how many slots are real.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GemmConfig
+from ..ops import grouped_gemm as gg
+from ..ops import quant
+from .config import ModelConfig
+from .layers import BF16Linear, Fp8Linear
+
+
+@dataclasses.dataclass
+class ExpertWeights:
+    """Per-expert SwiGLU weights, fp8 blockwise.
+
+    w1: (E, hidden, 2·inter) gate∥up fused; w2: (E, inter, hidden).
+    Scales are lane-expanded once at creation (static weights).
+    """
+
+    w1_q: jax.Array
+    w1_s: jax.Array      # (E, hidden/128, 2·inter) f32, lane-expanded
+    w2_q: jax.Array
+    w2_s: jax.Array
+
+    @classmethod
+    def create(cls, key, e: int, hidden: int, inter: int) -> "ExpertWeights":
+        k1, k2 = jax.random.split(key)
+        s1 = 1.0 / (hidden ** 0.5)
+        s2 = 1.0 / (inter ** 0.5)
+        w1 = jax.random.normal(k1, (e, hidden, 2 * inter), jnp.float32) * s1
+        w2 = jax.random.normal(k2, (e, inter, hidden), jnp.float32) * s2
+        w1_q, w1_bs = quant.quantize_fp8_weight(w1)
+        w2_q, w2_bs = quant.quantize_fp8_weight(w2)
+        return cls(
+            w1_q=w1_q,
+            w1_s=jnp.repeat(w1_bs, quant.BLOCK, axis=2)[:, :, :2 * inter],
+            w2_q=w2_q,
+            w2_s=jnp.repeat(w2_bs, quant.BLOCK, axis=2)[:, :, :hidden],
+        )
+
+
+@dataclasses.dataclass
+class MoEParams:
+    router: BF16Linear               # (hidden, E)
+    experts: ExpertWeights
+    shared_w1: Optional[Fp8Linear]   # (hidden, 2·shared_inter)
+    shared_w2: Optional[Fp8Linear]
+
+    @classmethod
+    def create(cls, key, cfg: ModelConfig) -> "MoEParams":
+        ks = jax.random.split(key, 4)
+        shared_inter = cfg.moe_intermediate * cfg.num_shared_experts
+        return cls(
+            router=BF16Linear.create(ks[0], cfg.hidden_size, cfg.num_experts,
+                                     init_scale=0.02),
+            experts=ExpertWeights.create(ks[1], cfg.num_experts,
+                                         cfg.hidden_size,
+                                         cfg.moe_intermediate),
+            shared_w1=(Fp8Linear.create(ks[2], cfg.hidden_size,
+                                        2 * shared_inter)
+                       if cfg.num_shared_experts else None),
+            shared_w2=(Fp8Linear.create(ks[3], shared_inter, cfg.hidden_size)
+                       if cfg.num_shared_experts else None),
+        )
+
+
+jax.tree_util.register_dataclass(
+    ExpertWeights, data_fields=["w1_q", "w1_s", "w2_q", "w2_s"],
+    meta_fields=[])
+jax.tree_util.register_dataclass(
+    MoEParams,
+    data_fields=["router", "experts", "shared_w1", "shared_w2"],
+    meta_fields=[])
+
+
+def _swiglu(h: jax.Array) -> jax.Array:
+    gate, up = jnp.split(h, 2, axis=-1)
+    return (jax.nn.silu(gate.astype(jnp.float32))
+            * up.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def route_topk(logits: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array]:
+    """(T, E) → (weights (T, K) f32 normalized, indices (T, K) i32)."""
+    scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    w, idx = jax.lax.top_k(scores, top_k)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w, idx
+
+
+def dispatch_masked(
+    topk_idx: jax.Array,    # (T, K) int32
+    num_experts: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Plan the fixed-shape dispatch.
+
+    Returns (slot (T, K) int32 — rank of (t, k) within its expert,
+    masked_m (E,) int32, capacity int). Capacity = T·K worst case is shape-
+    static; slots beyond an expert's count are never written.
+    """
+    t, k = topk_idx.shape
+    flat = topk_idx.reshape(-1)
+    # rank of each assignment within its expert = #earlier assignments
+    # to the same expert (stable, order = token-major).
+    onehot = jax.nn.one_hot(flat, num_experts, dtype=jnp.int32)  # (T·K, E)
+    ranks_all = jnp.cumsum(onehot, axis=0) - onehot              # exclusive
+    slot = jnp.take_along_axis(ranks_all, flat[:, None], axis=1)[:, 0]
+    masked_m = jnp.sum(onehot, axis=0)
+    return slot.reshape(t, k), masked_m, t * k
+
+
+def moe_block(
+    params: MoEParams,
+    x: jax.Array,            # (T, hidden) bf16
+    cfg: ModelConfig,
+    *,
+    capacity: Optional[int] = None,
+    gemm_config: Optional[GemmConfig] = None,
+    local_experts: Optional[int] = None,
+    expert_offset: int = 0,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """One MoE FFN over a flat token batch; shape-static under jit.
+
+    Under expert parallelism, ``local_experts``/``expert_offset`` restrict
+    compute to this shard's experts and ``axis_name`` names the mesh axis to
+    ``psum`` partial outputs over (routing is computed identically on every
+    shard — replicated router weights).
+    """
+    t, hidden = x.shape
+    e_total = cfg.num_experts
+    e_local = local_experts or e_total
+    logits = params.router(x)
+    weights, topk_idx = route_topk(logits, cfg.top_k)
+    slot, masked_m_all, cap_default = dispatch_masked(topk_idx, e_total)
+    cap = capacity or cap_default
+
+    # Scatter tokens into the fixed (E_local, cap, hidden) buffer.
+    local_idx = topk_idx - expert_offset                     # (T, K)
+    in_shard = (local_idx >= 0) & (local_idx < e_local)
+    e_safe = jnp.where(in_shard, local_idx, 0)
+    slot_safe = jnp.where(in_shard, slot, cap - 1)
+    buf = jnp.zeros((e_local, cap, hidden), jnp.bfloat16)
+    flat_tokens = jnp.repeat(x[:, None, :], cfg.top_k, axis=1)  # (T, K, h)
+    buf = buf.at[e_safe.reshape(-1), slot_safe.reshape(-1)].set(
+        jnp.where(in_shard.reshape(-1, 1), flat_tokens.reshape(-1, hidden), 0))
+    masked_m = jax.lax.dynamic_slice(
+        masked_m_all, (expert_offset,), (e_local,))
+
+    # Expert SwiGLU via masked grouped FP8 GEMM (fixed shapes).
+    a_q, a_s = quant.quantize_fp8_act(buf)
+    h = gg.m_grouped_gemm_masked(
+        a_q, a_s, params.experts.w1_q, params.experts.w1_s, masked_m,
+        config=gemm_config, b_scales_expanded=True)
+    h = _swiglu(h)
+    h_q, h_s = quant.quantize_fp8_act(h)
+    y = gg.m_grouped_gemm_masked(
+        h_q, h_s, params.experts.w2_q, params.experts.w2_s, masked_m,
+        config=gemm_config, b_scales_expanded=True)   # (E_local, cap, hidden)
+
+    # Gather back + weighted combine.
+    gathered = y[e_safe.reshape(-1), slot_safe.reshape(-1)]     # (T·K, h)
+    gathered = jnp.where(in_shard.reshape(-1, 1), gathered, 0)
+    gathered = gathered.reshape(t, cfg.top_k, hidden).astype(jnp.float32)
+    out = jnp.sum(gathered * weights[:, :, None], axis=1)
+
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+
+    if params.shared_w1 is not None:
+        sh = _swiglu(params.shared_w1(x))
+        out = out + params.shared_w2(sh).astype(jnp.float32)
+    return out.astype(jnp.bfloat16)

@@ -1,0 +1,282 @@
+"""FP8 blockwise-scaled GEMM with dequant-in-accumulator (the north-star op).
+
+DeepGEMM-style fine-grained scaling, absent from the reference (its kernels
+are bf16/fp16 only — SURVEY.md §0): A carries per-(token, 128-channel) scales,
+B carries per-(128×128)-block scales, and the scales are applied to the fp32
+accumulator *inside* the Pallas kernel at 128-deep K-group granularity —
+never materializing the dequantized operands in HBM.
+
+MXU mapping: raw fp8 operands feed the MXU directly (``mxu_dtype=None``) —
+on v5e the software fp8→bf16 upcast costs 5× more than the dot itself
+(measured: direct 187 TF/s vs upcast 34 TF/s at 4096³), so dequantization
+never touches the operands. Each 128-K-group is one natural MXU pass. Per grid step
+(block_k = G·128) the kernel issues G dots and applies
+``acc += p_g ⊙ a_scale[:, g] ⊙ b_scale[g, :]`` — the outer-product scale
+broadcast costs ~3·bm·bn VPU flops per 256·bm·bn·128 MXU flops (≈1%).
+
+Scale layout trick: B scales arrive as (⌈k/128⌉, ⌈n/128⌉) and are expanded to
+(⌈k/128⌉, n) f32 *outside* the kernel (one ``jnp.repeat``; +3% HBM traffic)
+so the in-kernel broadcast is a free sublane broadcast instead of a
+lane-blocked gather. For static weights use :func:`expand_weight_scales` once
+and pass ``b_scales_expanded=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import GemmConfig, KernelType
+from ..tiling import selector
+from ..utils.common import ceil_div
+from .gemm import _interpret_default
+from .quant import BLOCK
+
+__all__ = ["fp8_gemm", "fp8_gemm_with_config", "expand_weight_scales"]
+
+
+def expand_weight_scales(b_scales: jax.Array, n: int) -> jax.Array:
+    """(kb, nb) → (kb, n): repeat each block scale across its 128 lanes."""
+    kb, nb = b_scales.shape
+    if nb * BLOCK < n:
+        raise ValueError(f"b_scales cover {nb * BLOCK} cols < n={n}")
+    return jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=1)[:, :n]
+
+
+def _fp8_gemm_kernel_folded(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
+                            nk: int, groups: int, kb_total: int, out_dtype,
+                            mxu_dtype):
+    """Folded-scale variant: scales are applied to the operands in f32 and
+    the scaled operands cast to bf16 for ONE full-block MXU dot per grid
+    step — same loop structure as the dense kernel (ops/gemm.py), trading
+    ~2^-9 multiplicand rounding for full MXU pipelining.
+    """
+    del mxu_dtype
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bm, bk = a_ref.shape
+    bn = b_ref.shape[1]
+    kb_pad = as_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
+    sel = (row == k * groups + col).astype(jnp.float32)
+    s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # (bm, groups)
+    s_b_all = bs_ref[pl.ds(k * groups, groups), :]           # (groups, bn)
+
+    if nk * groups != kb_total:
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (groups, 1), 0)
+        gvalid = (k * groups + gidx) < kb_total
+        s_b_all = jnp.where(gvalid, s_b_all, 0.0)
+        s_a_all = jnp.where(gvalid.reshape(1, groups), s_a_all, 0.0)
+
+    a3 = a_ref[:].reshape(bm, groups, BLOCK).astype(jnp.float32)
+    a_sc = (a3 * s_a_all[:, :, None]).astype(jnp.bfloat16).reshape(bm, bk)
+    b3 = b_ref[:].reshape(groups, BLOCK, bn).astype(jnp.float32)
+    b_sc = (b3 * s_b_all[:, None, :]).astype(jnp.bfloat16).reshape(bk, bn)
+    # OOB fp8 garbage (ragged tail) can be NaN; NaN·0 = NaN, so mask the
+    # scaled operands where the scale was zeroed.
+    if nk * groups != kb_total:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 1)
+        a_sc = jnp.where(k * BLOCK * groups + lane < kb_total * BLOCK, a_sc, 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 0)
+        b_sc = jnp.where(k * BLOCK * groups + sub < kb_total * BLOCK, b_sc, 0)
+    acc_ref[:] += jnp.dot(a_sc, b_sc, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
+                     nk: int, groups: int, kb_total: int, out_dtype,
+                     mxu_dtype):
+    """Grid (nm, nn, nk); block_k = groups·128.
+
+    a_ref: (bm, bk) fp8 | as_ref: (bm, kb_total) f32 — FULL scale panel
+    b_ref: (bk, bn) fp8 | bs_ref: (kb_total, bn) f32 (lane-pre-expanded)
+
+    Mosaic requires the last block dim to be lane-aligned or the full array
+    dim, so the scale panels ride along whole (their block index is constant
+    in k → fetched once per output tile, not per k step). Per-step selection:
+    A-scales via a one-hot mini-dot (lane-dim dynamic slicing is not
+    supported), B-scales via a dynamic sublane slice.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kb_pad = as_ref.shape[1]
+    # One-hot selector E[r, g] = (r == k·groups + g): (kb_pad, groups).
+    row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
+    sel = (row == k * groups + col).astype(jnp.float32)
+    # (bm, groups): column g holds a_scale[:, k·groups+g]; overrun groups
+    # select nothing → exact zeros (masks the ragged tail for free).
+    # HIGHEST precision: the MXU's default 1-pass bf16 f32 matmul would
+    # round the scales to ~2^-8 — this dot must be value-exact.
+    s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    # (groups, bn) via dynamic sublane slice; clamped by Mosaic at the edge,
+    # overrun rows are handled by the input masking below.
+    s_b_all = bs_ref[pl.ds(k * groups, groups), :]
+
+    ragged = nk * groups != kb_total  # block_k doesn't divide k
+    for g in range(groups):
+        a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
+        b_g = b_ref[g * BLOCK:(g + 1) * BLOCK, :]
+        if mxu_dtype is not None:
+            a_g = a_g.astype(mxu_dtype)
+            b_g = b_g.astype(mxu_dtype)
+        s_a = s_a_all[:, g:g + 1]          # (bm, 1) f32
+        s_b = s_b_all[g:g + 1, :]          # (1, bn) f32
+        if ragged:
+            # Global K-group index may overrun kb_total on the last grid
+            # step; zero the whole contribution. Mask BOTH dot inputs — OOB
+            # fp8 garbage can decode to NaN and 0 × NaN = NaN — and the
+            # B scale row (clamped slice may repeat a valid row).
+            valid = k * groups + g < kb_total
+            a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
+            b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
+            s_b = jnp.where(valid, s_b, 0.0)
+        p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+        # Dequant-in-accumulator: scales applied in f32, matching the
+        # emulated-dequant golden to bf16-free precision.
+        acc_ref[:] += p * s_a * s_b
+
+    @pl.when(k == nk - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "out_dtype", "interpret", "mxu_dtype",
+                              "scale_mode"))
+def fp8_gemm_with_config(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales_expanded: jax.Array,
+    *,
+    config: GemmConfig,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+    mxu_dtype=None,
+    scale_mode: str = "accum",
+) -> jax.Array:
+    """FP8 GEMM with explicit tiling; ``b_scales_expanded`` is (kb, n) f32."""
+    m, k = a_q.shape
+    k2, n = b_q.shape
+    if k != k2:
+        raise ValueError(f"inner dims mismatch: {a_q.shape} @ {b_q.shape}")
+    if k % BLOCK:
+        raise ValueError(f"fp8_gemm requires k % {BLOCK} == 0, got k={k}")
+    if n % BLOCK:
+        raise ValueError(f"fp8_gemm requires n % {BLOCK} == 0, got n={n}")
+    kb = k // BLOCK
+    if a_scales.shape != (m, kb):
+        raise ValueError(f"a_scales must be {(m, kb)}, got {a_scales.shape}")
+    if b_scales_expanded.shape != (kb, n):
+        raise ValueError(
+            f"expanded b_scales must be {(kb, n)}, got {b_scales_expanded.shape}")
+    if interpret is None:
+        interpret = _interpret_default()
+
+    bm = min(config.block_m, _round_up(m, 32))   # fp8 sublane = 32
+    bn = min(config.block_n, n)
+    bk = min(config.block_k, k)
+    if bk % BLOCK:
+        raise ValueError(f"block_k must be a multiple of {BLOCK}, got {bk}")
+    if bn % BLOCK:
+        raise ValueError(f"block_n must be a multiple of {BLOCK}, got {bn}")
+    groups = bk // BLOCK
+    nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
+    # Pad the B-scale panel so the in-kernel dynamic sublane slice
+    # [k·groups, groups) never overruns — Mosaic clamps overrunning slices,
+    # which would silently shift VALID groups onto wrong scale rows.
+    kb_pad = nk * groups
+    if kb_pad > kb:
+        b_scales_expanded = jnp.pad(
+            b_scales_expanded, ((0, kb_pad - kb), (0, 0)))
+
+    kfn = {"accum": _fp8_gemm_kernel,
+           "folded": _fp8_gemm_kernel_folded}[scale_mode]
+    kernel = functools.partial(
+        kfn, nk=nk, groups=groups, kb_total=kb,
+        out_dtype=out_dtype, mxu_dtype=mxu_dtype)
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": config.vmem_limit_bytes}
+               if config.vmem_limit_bytes else {}),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            # Full scale panels: block index constant in kk → resident across
+            # the whole K loop of one output tile (no per-step refetch).
+            pl.BlockSpec((bm, kb), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((kb_pad, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=int(m * k + k * n + m * kb * 4 + kb * n * 4
+                               + m * n * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0),
+        interpret=interpret,
+        **params,
+    )(a_q, a_scales.astype(jnp.float32), b_q, b_scales_expanded)
+
+
+def fp8_gemm(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    config: Optional[GemmConfig] = None,
+    interpret: Optional[bool] = None,
+    mxu_dtype=None,
+    b_scales_expanded: bool = False,
+    scale_mode: str = "accum",
+) -> jax.Array:
+    """Blockwise-scaled FP8 GEMM (DeepGEMM ``gemm_fp8_fp8_bf16_nt`` analogue).
+
+    a_q: (m, k) e4m3 with a_scales (m, k/128) f32;
+    b_q: (k, n) e4m3 with b_scales (k/128, n/128) f32 — or (k/128, n) if
+    ``b_scales_expanded`` (pre-expanded once for static weights).
+    """
+    m, k = a_q.shape
+    _, n = b_q.shape
+    cfg = selector.select_config(
+        m, n, k, a_q.dtype, out_dtype, op="fp8_gemm", k_granularity=BLOCK,
+        override=config)
+    bse = (b_scales if b_scales_expanded
+           else expand_weight_scales(b_scales, n))
+    return fp8_gemm_with_config(
+        a_q, a_scales, b_q, bse, config=cfg, out_dtype=out_dtype,
+        interpret=interpret, mxu_dtype=mxu_dtype, scale_mode=scale_mode)
+
+
+def _round_up(x: int, m_: int) -> int:
+    return -(-x // m_) * m_

@@ -1,0 +1,336 @@
+"""Grouped FP8 GEMM for MoE — contiguous (prefill) and masked (decode).
+
+The reference has no grouped GEMM (SURVEY.md §1 "absent" list); the API
+shape follows DeepGEMM's ``m_grouped_gemm_fp8_fp8_bf16_nt_contiguous`` /
+``..._masked`` as the north star requires, realized as Pallas
+scalar-prefetch grids (``pltpu.PrefetchScalarGridSpec``):
+
+* **contiguous**: one flat (M_total, K) activation matrix whose rows are
+  grouped by expert; each group's row span is padded to a multiple of
+  ``block_m`` (DeepGEMM imposes the same alignment). A per-m-tile expert-id
+  vector is scalar-prefetched and drives the *index map* of the expert
+  weight tensor — the TPU analogue of DeepGEMM's tensor-of-pointers.
+  Padding tiles carry id -1 → compute is skipped and zeros are written.
+
+* **masked**: per-expert activation buffers of a fixed decode-friendly shape
+  (E, M_max, K) with a ``masked_m`` vector saying how many rows are real —
+  the "CUDA-graph-style fixed shapes" config: the compiled kernel is
+  identical across steps, only tensor contents (incl. masked_m) change.
+
+Both kernels reuse the dequant-in-accumulator structure of ops/fp8_gemm.py
+(raw fp8 into the MXU — the v5e software upcast is 5× the dot cost — with
+128-deep K groups and f32 scale application on the accumulator).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import GemmConfig
+from ..tiling import selector
+from ..utils.common import ceil_div, round_up
+from .gemm import _interpret_default
+from .quant import BLOCK
+
+__all__ = [
+    "m_grouped_gemm_contiguous",
+    "m_grouped_gemm_masked",
+    "make_contiguous_layout",
+]
+
+
+def make_contiguous_layout(
+    tokens_per_expert: Sequence[int], block_m: int,
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Plan the contiguous layout: (m_total_padded, tile_group_ids, row_map).
+
+    ``row_map[i]`` = source row feeding padded row i (or -1 for padding);
+    ``tile_group_ids[t]`` = expert of m-tile t (or -1 for padding tiles).
+    """
+    tile_ids, row_map = [], []
+    src = 0
+    for e, cnt in enumerate(tokens_per_expert):
+        padded = round_up(int(cnt), block_m) if cnt else 0
+        for r in range(padded):
+            row_map.append(src + r if r < cnt else -1)
+        src += int(cnt)
+        tile_ids.extend([e] * (padded // block_m))
+    m_total = len(row_map)
+    return m_total, np.asarray(tile_ids, np.int32), np.asarray(row_map, np.int32)
+
+
+def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
+                    nk: int, groups: int, kb_total: int, out_dtype):
+    """Contiguous grouped GEMM step. Grid (nm, nn, nk).
+
+    gid_ref: (nm,) int32 scalar-prefetch — expert id per m tile (-1 = pad).
+    b_ref block: (1, bk, bn) of (E, K, N); bs_ref block: (1, kb_pad, bn).
+    """
+    i = pl.program_id(0)
+    k = pl.program_id(2)
+    active = gid_ref[i] >= 0
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(active)
+    def _compute():
+        kb_pad = as_ref.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
+        sel = (row == k * groups + col).astype(jnp.float32)
+        s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        s_b_all = bs_ref[0, pl.ds(k * groups, groups), :]
+        ragged = nk * groups != kb_total
+        for g in range(groups):
+            a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
+            b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
+            s_a = s_a_all[:, g:g + 1]
+            s_b = s_b_all[g:g + 1, :]
+            if ragged:
+                valid = k * groups + g < kb_total
+                a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
+                b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
+                s_b = jnp.where(valid, s_b, 0.0)
+            p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+            acc_ref[:] += p * s_a * s_b
+
+    @pl.when(k == nk - 1)
+    def _store():
+        o_ref[:] = jnp.where(active, acc_ref[:], 0.0).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+def _grouped_contiguous_call(
+    tile_gids, a_q, a_scales, b_q, bs_exp, *, config, out_dtype, interpret):
+    m, k = a_q.shape
+    e, _, n = b_q.shape
+    kb = k // BLOCK
+    bm, bn, bk = config.block_m, min(config.block_n, n), min(config.block_k, k)
+    if bn % BLOCK or bk % BLOCK:
+        raise ValueError(
+            f"block_n/block_k must be multiples of {BLOCK}, got {bn}/{bk}")
+    groups = bk // BLOCK
+    nm, nn, nk = m // bm, ceil_div(n, bn), ceil_div(k, bk)
+    kb_pad = nk * groups
+    if kb_pad > kb:
+        bs_exp = jnp.pad(bs_exp, ((0, 0), (0, kb_pad - kb), (0, 0)))
+
+    kernel = functools.partial(
+        _grouped_kernel, nk=nk, groups=groups, kb_total=kb,
+        out_dtype=out_dtype)
+
+    # Clamp -1 (padding) to 0 for the weight index maps; the kernel skips
+    # compute and zeroes the output for those tiles.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk, gid: (i, kk)),
+            pl.BlockSpec((bm, kb), lambda i, j, kk, gid: (i, 0)),
+            pl.BlockSpec((1, bk, bn),
+                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk, j)),
+            pl.BlockSpec((1, kb_pad, bn),
+                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, gid: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+        **params,
+    )(tile_gids, a_q, a_scales.astype(jnp.float32), b_q, bs_exp)
+
+
+def m_grouped_gemm_contiguous(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    tile_group_ids: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    config: Optional[GemmConfig] = None,
+    interpret: Optional[bool] = None,
+    b_scales_expanded: bool = False,
+) -> jax.Array:
+    """Contiguous grouped FP8 GEMM (MoE prefill).
+
+    a_q: (M_total, K) e4m3, rows grouped by expert, group spans aligned to
+    ``config.block_m``; a_scales: (M_total, K/128) f32; b_q: (E, K, N) e4m3;
+    b_scales: (E, K/128, N/128) f32; tile_group_ids: (M_total/block_m,) int32
+    expert id per m-tile, -1 for padding tiles. Returns (M_total, N).
+    Use :func:`make_contiguous_layout` to plan the layout.
+    """
+    m, k = a_q.shape
+    e, k2, n = b_q.shape
+    if k != k2 or k % BLOCK or n % BLOCK:
+        raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape} "
+                         f"(k and n must be multiples of {BLOCK})")
+    n_tiles = jnp.shape(tile_group_ids)[0]  # static even under tracing
+    cfg = selector.select_config(
+        max(m // max(n_tiles, 1), 1), n, k,
+        a_q.dtype, out_dtype, op="grouped_gemm", k_granularity=BLOCK,
+        override=config)
+    bm = cfg.block_m
+    if m % bm:
+        raise ValueError(f"M_total={m} must be a multiple of block_m={bm}")
+    ntiles = m // bm
+    tile_gids = jnp.asarray(tile_group_ids, jnp.int32)
+    if tile_gids.shape != (ntiles,):
+        raise ValueError(
+            f"tile_group_ids must be ({ntiles},), got {tile_gids.shape}")
+    kb = k // BLOCK
+    bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
+              jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=2)[:, :, :n])
+    if interpret is None:
+        interpret = _interpret_default()
+    return _grouped_contiguous_call(
+        tile_gids, a_q, a_scales, b_q, bs_exp,
+        config=cfg, out_dtype=out_dtype, interpret=interpret)
+
+
+def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
+                   nk: int, groups: int, kb_total: int, bm: int, out_dtype):
+    """Masked grouped GEMM step. Grid (E, nm, nn, nk).
+
+    mask_ref: (E,) int32 scalar-prefetch — valid row count per expert.
+    Blocks carry a leading expert dim of 1.
+    """
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    k = pl.program_id(3)
+    active = i * bm < mask_ref[e]
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(active)
+    def _compute():
+        kb_pad = as_ref.shape[2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
+        sel = (row == k * groups + col).astype(jnp.float32)
+        s_a_all = jnp.dot(as_ref[0], sel, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        s_b_all = bs_ref[0, pl.ds(k * groups, groups), :]
+        ragged = nk * groups != kb_total
+        for g in range(groups):
+            a_g = a_ref[0, :, g * BLOCK:(g + 1) * BLOCK]
+            b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
+            s_a = s_a_all[:, g:g + 1]
+            s_b = s_b_all[g:g + 1, :]
+            if ragged:
+                valid = k * groups + g < kb_total
+                a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
+                b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
+                s_b = jnp.where(valid, s_b, 0.0)
+            p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+            acc_ref[:] += p * s_a * s_b
+
+    @pl.when(k == nk - 1)
+    def _store():
+        # Rows at/after masked_m[e] are unspecified in DeepGEMM; we zero the
+        # whole inactive tile (cheap, deterministic).
+        o_ref[0] = jnp.where(active, acc_ref[:], 0.0).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+def _grouped_masked_call(
+    masked_m, a_q, a_scales, b_q, bs_exp, *, config, out_dtype, interpret):
+    e, m_max, k = a_q.shape
+    _, _, n = b_q.shape
+    kb = k // BLOCK
+    bm = min(config.block_m, m_max)
+    bn, bk = min(config.block_n, n), min(config.block_k, k)
+    if bn % BLOCK or bk % BLOCK:
+        raise ValueError(
+            f"block_n/block_k must be multiples of {BLOCK}, got {bn}/{bk}")
+    groups = bk // BLOCK
+    nm, nn, nk = ceil_div(m_max, bm), ceil_div(n, bn), ceil_div(k, bk)
+    kb_pad = nk * groups
+    if kb_pad > kb:
+        bs_exp = jnp.pad(bs_exp, ((0, 0), (0, kb_pad - kb), (0, 0)))
+
+    kernel = functools.partial(
+        _masked_kernel, nk=nk, groups=groups, kb_total=kb, bm=bm,
+        out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda g, i, j, kk, mm: (g, i, kk)),
+            pl.BlockSpec((1, bm, kb), lambda g, i, j, kk, mm: (g, i, 0)),
+            pl.BlockSpec((1, bk, bn), lambda g, i, j, kk, mm: (g, kk, j)),
+            pl.BlockSpec((1, kb_pad, bn), lambda g, i, j, kk, mm: (g, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda g, i, j, kk, mm: (g, i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, m_max, n), out_dtype),
+        interpret=interpret,
+        **params,
+    )(masked_m, a_q, a_scales.astype(jnp.float32), b_q, bs_exp)
+
+
+def m_grouped_gemm_masked(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    masked_m: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    config: Optional[GemmConfig] = None,
+    interpret: Optional[bool] = None,
+    b_scales_expanded: bool = False,
+) -> jax.Array:
+    """Masked grouped FP8 GEMM (MoE decode, fixed shapes).
+
+    a_q: (E, M_max, K) e4m3; a_scales: (E, M_max, K/128) f32;
+    b_q: (E, K, N) e4m3; b_scales: (E, K/128, N/128) f32;
+    masked_m: (E,) int32 — rows ≥ masked_m[e] are ignored (output zeroed).
+    Shapes are static across decode steps; only contents vary.
+    """
+    e, m_max, k = a_q.shape
+    e2, k2, n = b_q.shape
+    if e != e2 or k != k2 or k % BLOCK or n % BLOCK:
+        raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape} "
+                         f"(k and n must be multiples of {BLOCK})")
+    cfg = selector.select_config(
+        m_max, n, k, a_q.dtype, out_dtype, op="grouped_gemm_masked",
+        k_granularity=BLOCK, override=config)
+    bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
+              jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=2)[:, :, :n])
+    if interpret is None:
+        interpret = _interpret_default()
+    return _grouped_masked_call(
+        jnp.asarray(masked_m, jnp.int32), a_q, a_scales, b_q, bs_exp,
+        config=cfg, out_dtype=out_dtype, interpret=interpret)

@@ -1,0 +1,210 @@
+"""Profiled grid-search autotuner — tier 1.5 of the tiling system.
+
+TPU re-design of the reference's benchmark-driven tuner
+(``framework/benchmark/benchmark.py`` — ``Parameter`` candidate generators
+under hardware constraints, per-shape ``benchmark_shape`` loop with a
+correctness gate, ``msprof op`` timing, jsonl results, and per-rank
+checkpoint files enabling crash resume with poisoned-config skipping,
+`benchmark.py:244-298`). Differences born of the platform:
+
+* timing uses the readback-safe scan-chain method (bench/timing.py) instead
+  of an external profiler binary — no msprof subprocess, no generic
+  params-in-GM kernel (re-specializing per config is a cached jit compile);
+* candidates come from the same analytic generator the selector uses
+  (`tiling/analytic.py:enumerate_candidates` ≙ `Parameter.filter_parameters`),
+  so the sweep space is already VMEM-legal;
+* winners are written into the persistent tiling cache (tiling/cache.py),
+  closing the loop: the next ``select_config`` call for that shape hits the
+  autotuned entry (the reference stored winners in the tiling CSV via
+  `SelectKernelWithCache`, `select_kernel.cpp:371-388`).
+
+Failure containment mirrors the reference: a config that crashes/compile-
+fails is recorded with ``time_s < 0`` (≙ ``negative=True`` records,
+`benchmark.py:281-298`) and skipped on resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GemmConfig
+from ..utils.common import ceil_div
+from . import analytic
+from . import platform as plat
+from .cache import TilingCache, cache_key, global_cache
+
+
+@dataclasses.dataclass
+class SweepResult:
+    """One (shape, config) measurement — ≙ ``Result`` (`benchmark.py:195-225`)."""
+
+    m: int
+    n: int
+    k: int
+    op: str
+    config: dict
+    time_s: float          # < 0 => failed/poisoned config
+    tflops: float
+    correct: bool
+    idx: int = -1
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, line: str) -> "SweepResult":
+        return cls(**json.loads(line))
+
+
+class Autotuner:
+    """Per-shape profiled sweep with jsonl logging + crash resume."""
+
+    def __init__(
+        self,
+        run_fn: Callable[..., "jnp.ndarray"],
+        time_fn: Callable[[GemmConfig], float],
+        *,
+        op: str = "gemm",
+        results_path: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        cache: Optional[TilingCache] = None,
+        rank: int = 0,
+        world: int = 1,
+    ):
+        """``time_fn(config) -> seconds`` (may raise → poisoned config).
+
+        ``rank``/``world`` shard the candidate list across independent
+        processes — ≙ the reference's rank-sliced sweeps
+        (`benchmark.py:249-253`, `bench_sub.py:57,90`).
+        """
+        del run_fn  # timing callback owns execution; kept for API clarity
+        self._time = time_fn
+        self._op = op
+        self._results_path = results_path
+        self._ckpt_path = checkpoint_path
+        self._cache = cache if cache is not None else global_cache()
+        self._rank, self._world = rank, world
+
+    # -- persistence ------------------------------------------------------
+    def _load_done(self) -> dict[int, SweepResult]:
+        done: dict[int, SweepResult] = {}
+        if self._results_path and os.path.exists(self._results_path):
+            with open(self._results_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        r = SweepResult.from_json(line)
+                        done[r.idx] = r
+                    except (json.JSONDecodeError, TypeError):
+                        continue
+        return done
+
+    def _poisoned_idx(self) -> Optional[int]:
+        """Index in flight when a previous process died
+        (≙ `last_process_idx` checkpoint, `benchmark.py:256-298`)."""
+        if self._ckpt_path and os.path.exists(self._ckpt_path):
+            try:
+                with open(self._ckpt_path) as f:
+                    return json.load(f).get("in_flight_idx")
+            except (json.JSONDecodeError, OSError):
+                return None
+        return None
+
+    def _mark_in_flight(self, idx: Optional[int]) -> None:
+        if self._ckpt_path:
+            os.makedirs(os.path.dirname(os.path.abspath(self._ckpt_path)),
+                        exist_ok=True)
+            with open(self._ckpt_path, "w") as f:
+                json.dump({"in_flight_idx": idx, "ts": time.time()}, f)
+
+    def _append(self, r: SweepResult) -> None:
+        if self._results_path:
+            os.makedirs(os.path.dirname(os.path.abspath(self._results_path)),
+                        exist_ok=True)
+            with open(self._results_path, "a") as f:
+                f.write(r.to_json() + "\n")
+
+    # -- sweep ------------------------------------------------------------
+    def sweep_shape(
+        self,
+        m: int, n: int, k: int,
+        candidates: Optional[Sequence[GemmConfig]] = None,
+        *,
+        in_dtype=jnp.bfloat16,
+        out_dtype=jnp.float32,
+        k_granularity: int = 128,
+        max_candidates: Optional[int] = None,
+        verbose: bool = False,
+    ) -> Optional[GemmConfig]:
+        """Sweep one shape; returns the winning config (None if all failed)."""
+        if candidates is None:
+            info = plat.detect()
+            isz = jnp.dtype(in_dtype).itemsize
+            osz = jnp.dtype(out_dtype).itemsize
+            triples = analytic.enumerate_candidates(
+                m, n, k, isz, isz, osz, info, k_granularity)
+            candidates = [GemmConfig(bm, bn, bk) for bm, bn, bk in triples]
+        candidates = list(candidates)[self._rank::self._world]
+        if max_candidates:
+            # Cost control (`benchmark.py` burned "5h/shape"): keep the
+            # analytically-best prefix.
+            isz = jnp.dtype(in_dtype).itemsize
+            osz = jnp.dtype(out_dtype).itemsize
+            info = plat.detect()
+            candidates.sort(key=lambda c: analytic.estimate_time(
+                m, n, k, c.block_m, c.block_n, c.block_k,
+                isz, isz, osz, info, in_dtype).time_s)
+            candidates = candidates[:max_candidates]
+
+        done = self._load_done()
+        poisoned = self._poisoned_idx()
+        best: Optional[SweepResult] = None
+        flops = 2 * m * n * k
+
+        for idx, cfg in enumerate(candidates):
+            if idx in done:
+                r = done[idx]
+            elif idx == poisoned:
+                r = SweepResult(m, n, k, self._op, cfg.to_dict(),
+                                time_s=-1.0, tflops=0.0, correct=False,
+                                idx=idx)
+                self._append(r)
+            else:
+                self._mark_in_flight(idx)
+                try:
+                    secs = self._time(cfg)
+                    r = SweepResult(m, n, k, self._op, cfg.to_dict(),
+                                    time_s=secs, tflops=flops / secs / 1e12,
+                                    correct=True, idx=idx)
+                except Exception as e:  # compile/runtime failure → poisoned
+                    if verbose:
+                        print(f"[DGA-TPU] autotune: config {cfg} failed: "
+                              f"{str(e)[:120]}")
+                    r = SweepResult(m, n, k, self._op, cfg.to_dict(),
+                                    time_s=-1.0, tflops=0.0, correct=False,
+                                    idx=idx)
+                self._append(r)
+                self._mark_in_flight(None)
+            if verbose and r.time_s > 0:
+                print(f"[DGA-TPU] autotune {m}x{n}x{k} #{idx} "
+                      f"{cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
+                      f"{r.time_s*1e3:.3f} ms ({r.tflops:.1f} TF/s)")
+            if r.time_s > 0 and (best is None or r.time_s < best.time_s):
+                best = r
+
+        if best is None:
+            return None
+        win = GemmConfig.from_dict(best.config)
+        key = cache_key(self._op, m, n, k, jnp.dtype(in_dtype).name,
+                        jnp.dtype(out_dtype).name, f"g{k_granularity}")
+        self._cache.set(key, win, persist=True)
+        return win
