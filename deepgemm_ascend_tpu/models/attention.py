@@ -87,14 +87,23 @@ def attention(
     cfg: ModelConfig,
     *,
     tp_heads: Optional[int] = None,
+    head_offset=0,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Causal GQA over the int8 cache. Works for prefill (s = prompt) and
-    decode (s = 1) with the same code path; ``tp_heads`` overrides the local
-    head count under tensor parallelism (params already sharded)."""
+    decode (s = 1) with the same code path.
+
+    Tensor parallelism: wq/wo are sharded by q-heads (``tp_heads`` local
+    heads starting at global head ``head_offset`` — may be traced, e.g.
+    ``axis_index·tp_heads``); the kv projection and cache stay replicated
+    (GQA kv_dim is small; sharding it under 128 lanes would break the fp8
+    kernel's lane contract). Each local q-head gathers its kv head by
+    GLOBAL index. ``axis_name`` psums the row-sharded o-projection."""
     b, s, _ = x.shape
     heads = tp_heads if tp_heads is not None else cfg.num_heads
-    kv_heads = max(cfg.num_kv_heads * heads // cfg.num_heads, 1)
+    kv_heads = cfg.num_kv_heads
     hd = cfg.head_dim
+    group = cfg.num_heads // kv_heads
 
     q = params.wq(x).reshape(b, s, heads, hd)
     k = params.wk(x).reshape(b, s, kv_heads, hd)
@@ -108,17 +117,26 @@ def attention(
     # Dequantize-in-contraction: int8 cache → f32 · scale.
     kf = cache.k_q.astype(jnp.float32) * cache.k_s     # (b, S, kvh, hd)
     vf = cache.v_q.astype(jnp.float32) * cache.v_s
-    group = heads // kv_heads
-    qf = q.astype(jnp.float32).reshape(b, s, kv_heads, group, hd)
+    # kv head of each LOCAL q head, by global head index.
+    kv_map = (head_offset + jnp.arange(heads)) // group          # (heads,)
+    kf_h = jnp.take(kf, kv_map, axis=2)                # (b, S, heads, hd)
+    vf_h = jnp.take(vf, kv_map, axis=2)
+    qf = q.astype(jnp.float32)
 
-    logits = jnp.einsum("bsKgd,bTKd->bsKgT", qf, kf) / (hd ** 0.5)
+    logits = jnp.einsum("bshd,bThd->bshT", qf, kf_h) / (hd ** 0.5)
     max_seq = kf.shape[1]
     t_idx = jnp.arange(max_seq)[None, None, :]                   # (1,1,S)
     causal = t_idx[:, 0] <= positions[:, :, None]                # (b,s,S)
     valid = t_idx[:, 0] < seq_lens[:, None, None]                # (b,1,S)→(b,s,S)
-    mask = (causal & valid)[:, :, None, None, :]                 # (b,s,1,1,S)
+    mask = (causal & valid)[:, :, None, :]                       # (b,s,1,S)
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bsKgT,bTKd->bsKgd", probs, vf)
+    out = jnp.einsum("bshT,bThd->bshd", probs, vf_h)
     out = out.reshape(b, s, heads * hd).astype(jnp.bfloat16)
-    return params.wo(out), cache
+    if axis_name is not None:
+        # Partial o-projection per shard; reduce in f32 over ICI.
+        proj = params.wo(out, out_dtype=jnp.float32)
+        proj = jax.lax.psum(proj, axis_name).astype(jnp.bfloat16)
+    else:
+        proj = params.wo(out)
+    return proj, cache

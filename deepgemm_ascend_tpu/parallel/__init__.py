@@ -1,0 +1,9 @@
+from .mesh import AXES, init_distributed, make_mesh, replicated, shard
+from .sharded import (cache_specs, make_sharded_decode_step, param_specs,
+                      shard_caches, shard_params)
+
+__all__ = [
+    "AXES", "init_distributed", "make_mesh", "replicated", "shard",
+    "cache_specs", "make_sharded_decode_step", "param_specs",
+    "shard_caches", "shard_params",
+]

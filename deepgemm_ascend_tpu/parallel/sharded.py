@@ -1,0 +1,162 @@
+"""Sharded decode step: explicit dp/ep/tp SPMD via shard_map.
+
+The Pallas kernels are single-core programs; multi-chip execution composes
+them with explicit collectives inside ``shard_map`` (GSPMD cannot partition
+a ``pallas_call`` automatically, and explicit axes are the tpu-native way to
+lay collectives onto ICI):
+
+* data axis: batch (tokens, caches, seq_lens sharded on batch);
+* model axis (tp): q-heads shard wq/wo (o-projection partials psummed in
+  f32), lm_head shards vocab (logits all-gathered); kv projections are
+  replicated — GQA kv_dim is small and sharding it below 128 lanes would
+  break the fp8 kernel's lane contract;
+* expert axis (ep): MoE expert weights shard on the expert dim; every shard
+  routes identically (replicated router) and computes only its experts'
+  tokens via the masked grouped kernel; partial outputs psum over "expert".
+
+Dense-FFN layers and the shared expert are replicated (first-layer-only in
+this model family). Sequence parallelism is moot at decode (s=1); pipeline
+parallelism is an extension axis, not needed at this model scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """Version-tolerant shard_map (check_vma/check_rep rename across jax)."""
+    try:
+        from jax import shard_map as sm
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature found")
+
+from ..models.attention import KVCache, attention
+from ..models.config import ModelConfig
+from ..models.layers import Fp8Linear, rms_norm
+from ..models.model import DenseFFN, LayerParams, ModelParams
+from ..models.moe import MoEParams, moe_block
+
+
+def _fp8_linear_spec(row=None, col=None):
+    return Fp8Linear(w_q=P(row, col), scales_exp=P(row, col))
+
+
+def param_specs(params: ModelParams, cfg: ModelConfig) -> ModelParams:
+    """PartitionSpec pytree mirroring the params structure."""
+    layer_specs = []
+    for layer in params.layers:
+        attn_spec = dataclasses.replace(
+            layer.attn,
+            wq=_fp8_linear_spec(None, "model"),
+            wk=_fp8_linear_spec(),     # replicated (small kv_dim)
+            wv=_fp8_linear_spec(),
+            wo=_fp8_linear_spec("model", None),
+        )
+        if isinstance(layer.ffn, MoEParams):
+            ffn_spec = dataclasses.replace(
+                layer.ffn,
+                router=dataclasses.replace(layer.ffn.router, w=P()),
+                experts=dataclasses.replace(
+                    layer.ffn.experts,
+                    w1_q=P("expert", None, None), w1_s=P("expert", None, None),
+                    w2_q=P("expert", None, None), w2_s=P("expert", None, None)),
+                shared_w1=(_fp8_linear_spec()
+                           if layer.ffn.shared_w1 is not None else None),
+                shared_w2=(_fp8_linear_spec()
+                           if layer.ffn.shared_w2 is not None else None),
+            )
+        else:
+            ffn_spec = DenseFFN(w1=_fp8_linear_spec(), w2=_fp8_linear_spec())
+        layer_specs.append(LayerParams(
+            attn_norm=P(), attn=attn_spec, ffn_norm=P(), ffn=ffn_spec))
+    return ModelParams(embed=P(), layers=layer_specs, final_norm=P(),
+                       lm_head=P(None, "model"))
+
+
+def cache_specs(caches: List[KVCache]) -> List[KVCache]:
+    spec = KVCache(k_q=P("data"), k_s=P("data"), v_q=P("data"), v_s=P("data"))
+    return [spec for _ in caches]
+
+
+def shard_params(mesh: Mesh, params: ModelParams,
+                 cfg: ModelConfig) -> ModelParams:
+    specs = param_specs(params, cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_caches(mesh: Mesh, caches: List[KVCache]) -> List[KVCache]:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), caches)
+
+
+def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
+                             params: ModelParams):
+    """Build the jitted SPMD decode step for this mesh.
+
+    Returns ``step(params, tokens, caches, seq_lens) -> (logits, caches)``
+    with tokens (batch,) int32 sharded on "data" and logits gathered full.
+    """
+    tp = mesh.shape["model"]
+    ep = mesh.shape["expert"]
+    if cfg.num_heads % tp:
+        raise ValueError(f"num_heads {cfg.num_heads} % tp {tp} != 0")
+    if cfg.num_experts % ep:
+        raise ValueError(f"num_experts {cfg.num_experts} % ep {ep} != 0")
+    local_heads = cfg.num_heads // tp
+    local_experts = cfg.num_experts // ep
+
+    def local_forward(params, tokens, caches, seq_lens):
+        b = tokens.shape[0]
+        positions = seq_lens[:, None]
+        x = params.embed[tokens][:, None, :]          # (b, 1, hidden)
+        new_caches = []
+        for layer, cache in zip(params.layers, caches):
+            h = rms_norm(x, layer.attn_norm, cfg.rms_eps)
+            attn_out, cache = attention(
+                layer.attn, h, cache, positions, seq_lens + 1, cfg,
+                tp_heads=local_heads,
+                head_offset=jax.lax.axis_index("model") * local_heads,
+                axis_name="model")
+            new_caches.append(cache)
+            x = x + attn_out
+            h = rms_norm(x, layer.ffn_norm, cfg.rms_eps)
+            if isinstance(layer.ffn, MoEParams):
+                off = jax.lax.axis_index("expert") * local_experts
+                ffn = moe_block(layer.ffn, h.reshape(b, cfg.hidden_size),
+                                cfg, local_experts=local_experts,
+                                expert_offset=off, axis_name="expert")
+                ffn = ffn[:, None, :]
+            else:
+                ffn = layer.ffn(h)
+            x = x + ffn
+        x = rms_norm(x, params.final_norm, cfg.rms_eps)
+        logits_local = jnp.dot(x[:, 0], params.lm_head,
+                               preferred_element_type=jnp.float32)
+        logits = jax.lax.all_gather(logits_local, "model", axis=1,
+                                    tiled=True)
+        return logits, new_caches
+
+    specs_p = param_specs(params, cfg)
+    fn = shard_map(
+        local_forward, mesh,
+        in_specs=(specs_p, P("data"),
+                  [KVCache(P("data"), P("data"), P("data"), P("data"))
+                   for _ in range(cfg.num_layers)], P("data")),
+        out_specs=(P("data", None),
+                   [KVCache(P("data"), P("data"), P("data"), P("data"))
+                    for _ in range(cfg.num_layers)]),
+    )
+    return jax.jit(fn)

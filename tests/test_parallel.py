@@ -1,0 +1,76 @@
+"""Sharded decode over the 8-device virtual CPU mesh.
+
+Validates the dp/ep/tp shard_map step compiles, runs, and matches the
+single-device model numerically (the reference has no equivalent — its only
+multi-device mode was sweep-sharding, SURVEY.md §2.7).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepgemm_ascend_tpu.models import TINY, decode_step, init_cache, init_params
+from deepgemm_ascend_tpu.parallel import (make_mesh, make_sharded_decode_step,
+                                          shard_caches, shard_params)
+from deepgemm_ascend_tpu.utils import verify
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_make_mesh_axis_inference():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh(dp=2, ep=2, tp=2)
+    assert dict(mesh2.shape) == {"data": 2, "expert": 2, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3)
+
+
+@pytest.mark.parametrize("dp,ep,tp", [(2, 2, 2), (1, 4, 2), (1, 1, 8)])
+def test_sharded_decode_matches_single_device(setup, dp, ep, tp):
+    cfg, params = setup
+    if cfg.num_heads % tp or cfg.num_experts % ep:
+        pytest.skip("axis does not divide")
+    b = 4
+    toks = jax.random.randint(jax.random.PRNGKey(1), (b,), 0, cfg.vocab_size)
+    lens = jnp.zeros((b,), jnp.int32)
+
+    # JITTED reference: eager-vs-jit fusion changes fp8 rounding at
+    # quantization boundaries (can even flip routing); the sharded step is
+    # bitwise-equal to the jitted single-device program.
+    import functools
+    ref_logits, _ = jax.jit(functools.partial(decode_step, cfg=cfg))(
+        params, toks, init_cache(cfg, b, 16), lens)
+
+    mesh = make_mesh(dp=dp, ep=ep, tp=tp)
+    p_sh = shard_params(mesh, params, cfg)
+    c_sh = shard_caches(mesh, init_cache(cfg, b, 16))
+    step = make_sharded_decode_step(mesh, cfg, params)
+    logits, caches = step(p_sh, toks, c_sh, lens)
+
+    assert logits.shape == (b, cfg.vocab_size)
+    rel = verify.relative_l2_error(np.asarray(logits), np.asarray(ref_logits))
+    assert rel < 0.02, rel
+    # caches updated and still sharded on data
+    assert caches[0].k_q.shape[0] == b
+
+
+def test_sharded_decode_two_steps(setup):
+    cfg, params = setup
+    mesh = make_mesh(dp=2, ep=2, tp=2)
+    b = 4
+    p_sh = shard_params(mesh, params, cfg)
+    caches = shard_caches(mesh, init_cache(cfg, b, 16))
+    step = make_sharded_decode_step(mesh, cfg, params)
+    toks = jnp.zeros((b,), jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)
+    logits, caches = step(p_sh, toks, caches, lens)
+    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+    logits2, _ = step(p_sh, nxt, caches, lens + 1)
+    assert np.isfinite(np.asarray(logits2)).all()
