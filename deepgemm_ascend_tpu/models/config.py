@@ -53,4 +53,4 @@ V2_LITE = ModelConfig(
     vocab_size=32768, hidden_size=2048, num_layers=8, num_heads=16,
     num_kv_heads=4, head_dim=128, num_experts=32, num_shared_experts=1,
     top_k=6, moe_intermediate=1408, first_dense_layers=1,
-    dense_intermediate=10944, max_seq_len=4096)
+    dense_intermediate=11008, max_seq_len=4096)  # 86*128 (fp8 lane contract)

@@ -134,3 +134,26 @@ def decode_step(
     logits, caches = forward(params, tokens[:, None], caches, positions,
                              seq_lens + 1, cfg)
     return logits[:, 0], caches
+
+
+def generate_greedy_scan(
+    params: ModelParams,
+    tokens: jax.Array,          # (batch,) int32 current tokens
+    caches: List[KVCache],
+    seq_lens: jax.Array,
+    cfg: ModelConfig,
+    steps: int,
+) -> Tuple[jax.Array, List[KVCache]]:
+    """Device-side greedy decode of ``steps`` tokens via lax.scan — one
+    dispatch for the whole generation (benchmark/throughput path; the
+    serving engine uses per-step dispatch for continuous batching)."""
+
+    def body(carry, _):
+        toks, caches, lens = carry
+        logits, caches = decode_step(params, toks, caches, lens, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, caches, lens + 1), nxt
+
+    (_, caches, _), toks = jax.lax.scan(
+        body, (tokens, caches, seq_lens), None, length=steps)
+    return toks.T, caches  # (batch, steps)

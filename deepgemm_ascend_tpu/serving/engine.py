@@ -1,0 +1,202 @@
+"""Decode engine: fixed-slot continuous batching over the FP8 MoE model.
+
+Device-side invariants (the "CUDA-graph-style" property the north star
+names): ONE compiled decode program for the whole serving lifetime — batch
+dimension = max_slots, masked grouped MoE GEMMs, int8 KV cache indexed by
+absolute position. Prefill compiles once per prompt-length bucket
+(power-of-two padding) and writes a single slot's cache via dynamic
+update — admission never recompiles the decode path.
+
+Optionally runs the sharded dp/ep/tp step over a mesh (multi-host
+continuous batching: slots shard over "data").
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.attention import KVCache
+from ..models.config import ModelConfig
+from ..models.model import ModelParams, decode_step, forward, init_cache
+from ..utils.common import ceil_div
+from .scheduler import Scheduler
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    """Single-host serving engine (mesh-sharded variant via ``mesh=``)."""
+
+    def __init__(
+        self,
+        params: ModelParams,
+        cfg: ModelConfig,
+        *,
+        max_slots: int = 8,
+        max_seq_len: Optional[int] = None,
+        eos_id: Optional[int] = None,
+        mesh=None,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len or cfg.max_seq_len
+        self.scheduler = Scheduler(max_slots, self.max_seq_len, eos_id)
+        self.temperature = temperature
+        self._key = jax.random.PRNGKey(seed)
+        self._mesh = mesh
+
+        if mesh is not None:
+            from ..parallel import (make_sharded_decode_step, shard_caches,
+                                    shard_params)
+            self.params = shard_params(mesh, params, cfg)
+            self.caches = shard_caches(
+                mesh, init_cache(cfg, max_slots, self.max_seq_len))
+            self._decode = make_sharded_decode_step(mesh, cfg, params)
+        else:
+            self.params = params
+            self.caches = init_cache(cfg, max_slots, self.max_seq_len)
+            self._decode = jax.jit(functools.partial(decode_step, cfg=cfg))
+
+        self.seq_lens = jnp.zeros((max_slots,), jnp.int32)
+        self.last_tokens = jnp.zeros((max_slots,), jnp.int32)
+        self._prefill_cache: dict = {}
+        self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
+                      "decode_time_s": 0.0}
+
+    # -- prefill -------------------------------------------------------------
+    def _prefill_fn(self, bucket: int):
+        """Jitted per-bucket: run the prompt through the model for ONE slot
+        and merge its cache rows back into the global caches."""
+        if bucket in self._prefill_cache:
+            return self._prefill_cache[bucket]
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=())
+        def prefill(params, caches, tokens, true_len, slot):
+            # tokens: (bucket,) padded prompt; slice out slot's cache rows.
+            sub = [KVCache(k_q=c.k_q[slot][None], k_s=c.k_s[slot][None],
+                           v_q=c.v_q[slot][None], v_s=c.v_s[slot][None])
+                   for c in caches]
+            pos = jnp.arange(bucket, dtype=jnp.int32)[None]
+            lens = jnp.asarray([true_len], jnp.int32)
+            logits, sub = forward(params, tokens[None], sub, pos, lens, cfg)
+            merged = [
+                KVCache(k_q=c.k_q.at[slot].set(s.k_q[0]),
+                        k_s=c.k_s.at[slot].set(s.k_s[0]),
+                        v_q=c.v_q.at[slot].set(s.v_q[0]),
+                        v_s=c.v_s.at[slot].set(s.v_s[0]))
+                for c, s in zip(caches, sub)]
+            # next-token logits at the last REAL prompt position
+            last = logits[0, true_len - 1]
+            return last, merged
+
+        self._prefill_cache[bucket] = prefill
+        return prefill
+
+    def _prefill_via_decode(self, adm) -> int:
+        """Prompt ingestion through the sharded decode step (mesh mode)."""
+        slot = adm.slot
+        self.seq_lens = self.seq_lens.at[slot].set(0)
+        logits = None
+        for tok in adm.prompt:
+            self.last_tokens = self.last_tokens.at[slot].set(int(tok))
+            logits, self.caches = self._decode(
+                self.params, self.last_tokens, self.caches, self.seq_lens)
+            self.seq_lens = self.seq_lens.at[slot].add(1)
+        first = int(self._sample(logits[slot]))
+        self.last_tokens = self.last_tokens.at[slot].set(first)
+        return first
+
+    def _sample(self, logits: jax.Array) -> jax.Array:
+        if self.temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        self._key, sub = jax.random.split(self._key)
+        return jax.random.categorical(
+            sub, logits / self.temperature, axis=-1).astype(jnp.int32)
+
+    # -- main loop ------------------------------------------------------------
+    def step(self) -> Dict[int, List[int]]:
+        """One engine iteration: admit + prefill new requests, decode all
+        active slots once. Returns {req_id: [tokens]} emitted this step
+        (a freshly admitted request can emit its prefill token AND a decode
+        token in the same iteration)."""
+        sched = self.scheduler
+        emitted: Dict[int, List[int]] = {}
+
+        prefill_tokens: Dict[int, int] = {}
+        for adm in sched.admissions():
+            if self._mesh is not None:
+                # Sharded mode: GSPMD can't partition pallas_call, so the
+                # bucketed prefill program isn't available — feed the prompt
+                # through the sharded decode step token by token.
+                first_tok = self._prefill_via_decode(adm)
+            else:
+                bucket = _bucket(len(adm.prompt))
+                toks = np.zeros((bucket,), np.int32)
+                toks[:len(adm.prompt)] = adm.prompt
+                prefill = self._prefill_fn(bucket)
+                last_logits, self.caches = prefill(
+                    self.params, self.caches, jnp.asarray(toks),
+                    len(adm.prompt), adm.slot)
+                first_tok = int(self._sample(last_logits))
+            self.seq_lens = self.seq_lens.at[adm.slot].set(len(adm.prompt))
+            self.last_tokens = self.last_tokens.at[adm.slot].set(first_tok)
+            self.stats["prefills"] += 1
+            self.stats["tokens_out"] += 1
+            prefill_tokens[adm.slot] = first_tok
+            emitted.setdefault(adm.req_id, []).append(first_tok)
+        if prefill_tokens:
+            sched.record_tokens(prefill_tokens)
+
+        active = sched.active_slots()
+        if active:
+            t0 = time.perf_counter()
+            logits, self.caches = self._decode(
+                self.params, self.last_tokens, self.caches, self.seq_lens)
+            nxt = self._sample(logits)
+            # only active slots advance
+            mask = np.zeros((self.max_slots,), bool)
+            mask[active] = True
+            jmask = jnp.asarray(mask)
+            self.seq_lens = jnp.where(jmask, self.seq_lens + 1, self.seq_lens)
+            self.last_tokens = jnp.where(jmask, nxt, self.last_tokens)
+            nxt_np = np.asarray(nxt)
+            self.stats["decode_time_s"] += time.perf_counter() - t0
+            self.stats["decode_steps"] += 1
+            slot_tokens = {}
+            for slot in active:
+                req = sched.running[slot]
+                slot_tokens[slot] = int(nxt_np[slot])
+                emitted.setdefault(req.req_id, []).append(int(nxt_np[slot]))
+            self.stats["tokens_out"] += len(slot_tokens)
+            sched.record_tokens(slot_tokens)
+        return emitted
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 32,
+    ) -> List[List[int]]:
+        """Batch convenience: submit all, run to completion, return outputs."""
+        ids = [self.scheduler.submit(p, max_new_tokens) for p in prompts]
+        while self.scheduler.has_work:
+            self.step()
+        return [self.scheduler.result(i).output for i in ids]
+
+    @property
+    def tokens_per_second(self) -> float:
+        t = self.stats["decode_time_s"]
+        return self.stats["tokens_out"] / t if t > 0 else 0.0

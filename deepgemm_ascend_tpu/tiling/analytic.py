@@ -217,9 +217,19 @@ def get_best_config(
     and ``DoTiling`` dispatch (`do_tiling.h:24-26`), TPU constants. Results are
     memoized per shape — the in-process analogue of the reference's in-memory
     tiling cache (`op_tiling/cache.cpp:22-101`); the persistent tier lives in
-    ``tiling.cache``.
+    ``tiling.cache``. When the native core (csrc/dga_core.cpp) is available
+    it computes the same answer in C++ (equivalence-tested); this Python
+    path is the reference implementation and the fallback.
     """
     info = plat.detect()
+    from .. import native as _native
+    cfg = _native.select_config_native(
+        m, n, k, a_itemsize, b_itemsize, out_itemsize, k_granularity,
+        info.vmem_bytes, info.peak_flops(
+            {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]),
+        info.hbm_gbps, info.num_cores)
+    if cfg is not None:
+        return cfg
     in_dtype = {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]
     best, best_est = None, None
     for bm, bn, bk in enumerate_candidates(

@@ -1,0 +1,101 @@
+"""Native C++ core ↔ Python reference equivalence.
+
+Mirrors the reference's gtest coverage of its C++ tiling stack
+(``aclnn_.../tests``: do_tiling, select_kernel, cache, csv) but with a
+stronger oracle: the Python implementation in tiling/analytic.py is the
+spec, and the C++ must agree exactly on every probe shape.
+"""
+
+import ctypes
+import os
+
+import pytest
+
+from deepgemm_ascend_tpu import native
+from deepgemm_ascend_tpu.config import GemmConfig
+from deepgemm_ascend_tpu.tiling import analytic, platform
+
+
+lib = native.load()
+pytestmark = pytest.mark.skipif(lib is None, reason="no C++ toolchain")
+
+SHAPES = [
+    (4096, 4096, 4096), (8, 7168, 18432), (64, 24576, 1536),
+    (128, 4096, 7168), (1279, 5003, 7681), (1, 128, 128),
+    (100, 130, 70), (2048, 4096, 7168),
+]
+
+
+def _py_config(m, n, k, a_i, b_i, o_i, gran):
+    """Python analytic result, bypassing the native fast path."""
+    info = platform.detect()
+    import jax.numpy as jnp
+    in_dtype = {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_i]
+    best, best_est = None, None
+    for bm, bn, bk in analytic.enumerate_candidates(
+            m, n, k, a_i, b_i, o_i, info, gran):
+        est = analytic.estimate_time(m, n, k, bm, bn, bk, a_i, b_i, o_i,
+                                     info, in_dtype)
+        if best_est is None or est.time_s < best_est.time_s:
+            best, best_est = (bm, bn, bk), est
+    return best
+
+
+@pytest.mark.parametrize("m,n,k", SHAPES)
+@pytest.mark.parametrize("a_i,gran", [(2, 128), (1, 128)])
+def test_native_matches_python_analytic(m, n, k, a_i, gran):
+    info = platform.detect()
+    import jax.numpy as jnp
+    in_dtype = {1: jnp.int8, 2: jnp.bfloat16}[a_i]
+    cfg = native.select_config_native(
+        m, n, k, a_i, a_i, 4, gran, info.vmem_bytes,
+        info.peak_flops(in_dtype), info.hbm_gbps, info.num_cores)
+    py = _py_config(m, n, k, a_i, a_i, 4, gran)
+    assert (cfg.block_m, cfg.block_n, cfg.block_k) == py, (cfg, py)
+
+
+def test_native_vmem_footprint_matches():
+    for bm, bn, bk in [(128, 128, 128), (512, 1024, 2048), (16, 128, 256)]:
+        got = lib.dga_vmem_footprint(bm, bn, bk, 2, 2, 4)
+        want = analytic.vmem_footprint(bm, bn, bk, 2, 2, 4)
+        assert got == want
+
+
+def test_native_estimate_time_matches():
+    info = platform.detect()
+    import jax.numpy as jnp
+    for m, n, k in SHAPES[:4]:
+        got = lib.dga_estimate_time(m, n, k, 256, 256, 512, 2, 2, 4,
+                                    info.vmem_bytes,
+                                    info.peak_flops(jnp.bfloat16),
+                                    info.hbm_gbps)
+        want = analytic.estimate_time(m, n, k, 256, 256, 512, 2, 2, 4,
+                                      info, jnp.bfloat16).time_s
+        assert abs(got - want) / want < 1e-9
+
+
+def test_native_cache_roundtrip(tmp_path):
+    path = str(tmp_path / "tilings.csv").encode()
+    lib.dga_cache_init(path)
+    cfg = native.NativeConfig(256, 512, 1024, 1, 1, 0)
+    assert lib.dga_cache_get(b"gemm:m1n2k3", ctypes.byref(
+        native.NativeConfig())) == 0
+    lib.dga_cache_set(b"gemm:m1n2k3", ctypes.byref(cfg), 1)
+    out = native.NativeConfig()
+    assert lib.dga_cache_get(b"gemm:m1n2k3", ctypes.byref(out)) == 1
+    assert (out.block_m, out.block_n, out.block_k) == (256, 512, 1024)
+    # persistence: re-init reloads from CSV
+    lib.dga_cache_init(path)
+    out2 = native.NativeConfig()
+    assert lib.dga_cache_get(b"gemm:m1n2k3", ctypes.byref(out2)) == 1
+    assert out2.block_k == 1024
+    assert lib.dga_cache_size() == 1
+
+
+def test_selector_end_to_end_uses_native():
+    # get_best_config must return a native-backed result identical to the
+    # GemmConfig contract (hashable, legal blocks).
+    analytic.get_best_config.cache_clear()
+    cfg = analytic.get_best_config(4096, 4096, 4096)
+    assert isinstance(cfg, GemmConfig)
+    assert cfg.block_n % 128 == 0 and cfg.block_k % 128 == 0
