@@ -71,13 +71,14 @@ def _fp8_gemm_kernel_folded(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
     sel = (row == k * groups + col).astype(jnp.float32)
     s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)   # (bm, groups)
-    s_b_all = bs_ref[pl.ds(k * groups, groups), :]           # (groups, bn)
-
-    if nk * groups != kb_total:
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (groups, 1), 0)
-        gvalid = (k * groups + gidx) < kb_total
-        s_b_all = jnp.where(gvalid, s_b_all, 0.0)
-        s_a_all = jnp.where(gvalid.reshape(1, groups), s_a_all, 0.0)
+    # B scales via the same one-hot dot (a dynamic sublane slice needs a
+    # provably 8-aligned start — impossible for groups < 8). Overrun groups
+    # select nothing → exact zeros, masking the ragged tail for free.
+    rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 1)
+    cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 0)
+    selT = (rT == k * groups + cT).astype(jnp.float32)
+    s_b_all = jnp.dot(selT, bs_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # (groups, bn)
 
     a3 = a_ref[:].reshape(bm, groups, BLOCK).astype(jnp.float32)
     a_sc = (a3 * s_a_all[:, :, None]).astype(jnp.bfloat16).reshape(bm, bk)
@@ -128,9 +129,14 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
     # round the scales to ~2^-8 — this dot must be value-exact.
     s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-    # (groups, bn) via dynamic sublane slice; clamped by Mosaic at the edge,
-    # overrun rows are handled by the input masking below.
-    s_b_all = bs_ref[pl.ds(k * groups, groups), :]
+    # (groups, bn) via the same one-hot dot — dynamic sublane slices need a
+    # provably 8-aligned start, which fails for groups < 8 (bk = 512).
+    # Overrun rows select nothing → exact zeros.
+    rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 1)
+    cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 0)
+    selT = (rT == k * groups + cT).astype(jnp.float32)
+    s_b_all = jnp.dot(selT, bs_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
     ragged = nk * groups != kb_total  # block_k doesn't divide k
     for g in range(groups):
@@ -149,7 +155,6 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
             valid = k * groups + g < kb_total
             a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
             b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-            s_b = jnp.where(valid, s_b, 0.0)
         p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
         # Dequant-in-accumulator: scales applied in f32, matching the
         # emulated-dequant golden to bf16-free precision.
@@ -202,13 +207,7 @@ def fp8_gemm_with_config(
         raise ValueError(f"block_n must be a multiple of {BLOCK}, got {bn}")
     groups = bk // BLOCK
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
-    # Pad the B-scale panel so the in-kernel dynamic sublane slice
-    # [k·groups, groups) never overruns — Mosaic clamps overrunning slices,
-    # which would silently shift VALID groups onto wrong scale rows.
-    kb_pad = nk * groups
-    if kb_pad > kb:
-        b_scales_expanded = jnp.pad(
-            b_scales_expanded, ((0, kb_pad - kb), (0, 0)))
+    kb_pad = kb  # one-hot selection never reads out of range
 
     kfn = {"accum": _fp8_gemm_kernel,
            "folded": _fp8_gemm_kernel_folded}[scale_mode]
@@ -232,7 +231,7 @@ def fp8_gemm_with_config(
             # the whole K loop of one output tile (no per-step refetch).
             pl.BlockSpec((bm, kb), lambda i, j, kk: (i, 0)),
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((kb_pad, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((kb, bn), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),

@@ -89,7 +89,15 @@ def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         sel = (row == k * groups + col).astype(jnp.float32)
         s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-        s_b_all = bs_ref[0, pl.ds(k * groups, groups), :]
+        # one-hot dot (dynamic sublane slices need provably 8-aligned starts,
+        # impossible for groups < 8); overrun groups select exact zeros.
+        kb_rows = bs_ref.shape[1]
+        rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
+        cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
+        selT = (rT == k * groups + cT).astype(jnp.float32)
+        s_b_all = jnp.dot(selT, bs_ref[0],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
@@ -231,7 +239,13 @@ def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         sel = (row == k * groups + col).astype(jnp.float32)
         s_a_all = jnp.dot(as_ref[0], sel, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-        s_b_all = bs_ref[0, pl.ds(k * groups, groups), :]
+        kb_rows = bs_ref.shape[1]
+        rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
+        cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
+        selT = (rT == k * groups + cT).astype(jnp.float32)
+        s_b_all = jnp.dot(selT, bs_ref[0],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[0, :, g * BLOCK:(g + 1) * BLOCK]

@@ -1,0 +1,234 @@
+"""Learned tiling cost predictor — tier 2 of the tiling system.
+
+TPU re-design of the reference's MLP predictor stack
+(``get_best_config/get_best_config.py:166-670`` ``TilingPredictor`` +
+``model.py:5-31`` ``TimePredictMLP``): a small MLP maps
+(M, N, K, block_m, block_n, block_k) → predicted kernel time; candidate
+tilings are scored in batches and the best is chosen, with the reference's
+**fallback policy** preserved verbatim in shape: if fewer than
+``min_candidates`` legal tilings exist, or the predicted winner isn't at
+least ``margin`` faster than the predicted time of the analytic config, the
+predictor declines and the selector falls back to the analytic tier
+(`get_best_config.py:587-621` — min_tiling 60, 3% margin).
+
+Differences from the reference: weights live in a portable ``.npz`` (the
+reference shipped no ``.pth`` weights at all — SURVEY.md §2.4); training
+happens in-repo from autotuner sweep JSONL (tiling/autotune.py) via optax;
+inference is plain numpy (host path — no device round trip per selection).
+Selection strategies: ``greedy`` and ``topk_median`` (the reference's
+dbscan strategy needs sklearn — out of the baked-image dependency set; the
+strategy hook is the same).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import GemmConfig
+from . import analytic
+from . import platform as plat
+
+FEATURES = 6  # m, n, k, bm, bn, bk (log2-scaled)
+DEFAULT_HIDDEN = (64, 128, 64)
+MIN_CANDIDATES = 60        # ≙ min_tiling (`get_best_config.py:44`)
+NATIVE_MARGIN = 0.03       # ≙ 3% fallback margin (`get_best_config.py:601`)
+MAX_BATCH = 2048           # ≙ predict_batch cap (`get_best_config.py:309`)
+
+
+def _features(m, n, k, tiles: np.ndarray) -> np.ndarray:
+    """(N, 6) log2 feature matrix — ≙ build_feature_matrix
+    (`get_best_config.py:281`)."""
+    shape = np.log2(np.asarray([m, n, k], np.float64) + 1.0)
+    out = np.empty((len(tiles), FEATURES), np.float64)
+    out[:, :3] = shape
+    out[:, 3:] = np.log2(tiles.astype(np.float64))
+    return out
+
+
+@dataclasses.dataclass
+class MLPWeights:
+    """Plain-numpy MLP: Linear→ReLU stack → scalar log-time."""
+
+    ws: List[np.ndarray]
+    bs: List[np.ndarray]
+    mean: np.ndarray
+    std: np.ndarray
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        h = (x - self.mean) / np.maximum(self.std, 1e-12)
+        for w, b in zip(self.ws[:-1], self.bs[:-1]):
+            h = np.maximum(h @ w + b, 0.0)
+        return (h @ self.ws[-1] + self.bs[-1])[:, 0]
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        payload = {"mean": self.mean, "std": self.std,
+                   "n_layers": np.asarray(len(self.ws))}
+        for i, (w, b) in enumerate(zip(self.ws, self.bs)):
+            payload[f"w{i}"] = w
+            payload[f"b{i}"] = b
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str) -> "MLPWeights":
+        z = np.load(path)
+        n = int(z["n_layers"])
+        return cls(ws=[z[f"w{i}"] for i in range(n)],
+                   bs=[z[f"b{i}"] for i in range(n)],
+                   mean=z["mean"], std=z["std"])
+
+    @classmethod
+    def init(cls, hidden: Sequence[int] = DEFAULT_HIDDEN,
+             seed: int = 0) -> "MLPWeights":
+        rng = np.random.default_rng(seed)
+        dims = [FEATURES, *hidden, 1]
+        ws, bs = [], []
+        for i, o in zip(dims[:-1], dims[1:]):
+            ws.append(rng.normal(0, np.sqrt(2.0 / i), (i, o)))  # Kaiming
+            bs.append(np.zeros((o,)))
+        return cls(ws=ws, bs=bs, mean=np.zeros(FEATURES),
+                   std=np.ones(FEATURES))
+
+
+class TilingPredictor:
+    """Scores candidate tilings with the MLP; declines when unsure."""
+
+    def __init__(self, weights: MLPWeights, *,
+                 strategy: str = "greedy",
+                 min_candidates: int = MIN_CANDIDATES,
+                 margin: float = NATIVE_MARGIN,
+                 op: str = "gemm"):
+        if strategy not in ("greedy", "topk_median"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        self.weights = weights
+        self.strategy = strategy
+        self.min_candidates = min_candidates
+        self.margin = margin
+        self.op = op
+
+    def predict_batch(self, feats: np.ndarray) -> np.ndarray:
+        """Batched MLP inference, ≤ MAX_BATCH rows per chunk
+        (≙ `predict_batch`, `get_best_config.py:309-429`)."""
+        outs = []
+        for i in range(0, len(feats), MAX_BATCH):
+            outs.append(self.weights.forward(feats[i:i + MAX_BATCH]))
+        return np.concatenate(outs) if outs else np.zeros((0,))
+
+    def _select(self, times: np.ndarray) -> int:
+        if self.strategy == "greedy":
+            return int(np.argmin(times))
+        k = max(1, min(8, len(times) // 10))
+        top = np.argsort(times)[:k]
+        return int(top[len(top) // 2])  # median of the top-k
+
+    def predict(self, m: int, n: int, k: int, in_dtype, out_dtype,
+                *, op: str = "gemm") -> Optional[GemmConfig]:
+        """Best config by predicted time, or None to decline (fallback)."""
+        if op != self.op:
+            return None
+        info = plat.detect()
+        a_i = np.dtype(in_dtype).itemsize
+        o_i = np.dtype(out_dtype).itemsize
+        cands = analytic.enumerate_candidates(m, n, k, a_i, a_i, o_i, info)
+        if len(cands) < self.min_candidates:
+            return None
+        tiles = np.asarray(cands, np.int64)
+        # MLP emits log-time; compare in the time domain so the margin rule
+        # is scale-correct (log outputs may be negative).
+        times = np.exp(self.predict_batch(_features(m, n, k, tiles)))
+        # analytic ("native") config's predicted time — fallback anchor
+        native = analytic.get_best_config(m, n, k, a_i, a_i, o_i)
+        nat_feat = _features(m, n, k, np.asarray(
+            [[native.block_m, native.block_n, native.block_k]], np.int64))
+        native_time = float(np.exp(self.predict_batch(nat_feat)[0]))
+        idx = self._select(times)
+        if float(times[idx]) > (1.0 - self.margin) * native_time:
+            return None  # not confidently better than analytic → decline
+        bm, bn, bk = (int(v) for v in tiles[idx])
+        ktype, ksplit = analytic.select_kernel_type(m, n, k, bm, bn, bk, info)
+        return GemmConfig(block_m=bm, block_n=bn, block_k=bk,
+                          kernel_type=ktype, k_split=ksplit)
+
+
+# ---- training from autotuner sweep JSONL --------------------------------
+
+def load_sweep_records(paths: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """JSONL SweepResults → (features, log-times). Poisoned records
+    (time_s < 0) are skipped, like the reference skipping negative results."""
+    feats, times = [], []
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("time_s", -1) <= 0:
+                    continue
+                c = r["config"]
+                feats.append([r["m"], r["n"], r["k"],
+                              c["block_m"], c["block_n"], c["block_k"]])
+                times.append(r["time_s"])
+    if not feats:
+        return np.zeros((0, FEATURES)), np.zeros((0,))
+    arr = np.asarray(feats, np.float64)
+    f = _features(1, 1, 1, arr[:, 3:])  # tile part
+    f[:, :3] = np.log2(arr[:, :3] + 1.0)
+    return f, np.log(np.asarray(times, np.float64))
+
+
+def train(feats: np.ndarray, log_times: np.ndarray, *,
+          hidden: Sequence[int] = DEFAULT_HIDDEN, epochs: int = 200,
+          lr: float = 1e-3, seed: int = 0, batch: int = 256) -> MLPWeights:
+    """Adam-trained MLP on (features → log time). Returns numpy weights."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    mean = feats.mean(0)
+    std = feats.std(0) + 1e-8
+    x = jnp.asarray((feats - mean) / std)
+    y = jnp.asarray(log_times)
+
+    w0 = MLPWeights.init(hidden, seed)
+    params = {"ws": [jnp.asarray(w) for w in w0.ws],
+              "bs": [jnp.asarray(b) for b in w0.bs]}
+
+    def fwd(p, xx):
+        h = xx
+        for w, b in zip(p["ws"][:-1], p["bs"][:-1]):
+            h = jax.nn.relu(h @ w + b)
+        return (h @ p["ws"][-1] + p["bs"][-1])[:, 0]
+
+    def loss(p, xx, yy):
+        return jnp.mean((fwd(p, xx) - yy) ** 2)
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, xx, yy):
+        g = jax.grad(loss)(p, xx, yy)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s
+
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for i in range(0, n, batch):
+            idx = jnp.asarray(order[i:i + batch])
+            params, state = step(params, state, x[idx], y[idx])
+
+    return MLPWeights(
+        ws=[np.asarray(w) for w in params["ws"]],
+        bs=[np.asarray(b) for b in params["bs"]],
+        mean=mean, std=std)

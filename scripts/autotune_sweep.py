@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Autotune sweep over a shape suite on the local chip.
+
+≙ reference ``framework/benchmark/benchmark.py`` CLI flow (rank-sharded
+per-shape sweep, jsonl results, checkpoint resume) with the TPU timing
+method. Winners land in the persistent tiling cache (``--cache``), which
+``select_config`` loads via ``DGA_CACHE_FILE_PATH``.
+
+Examples:
+  python scripts/autotune_sweep.py --suite reference --op gemm
+  python scripts/autotune_sweep.py --suite dynamic --op fp8_gemm \
+      --max-candidates 24 --rank 0 --world 4
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="reference",
+                    choices=["reference", "dynamic", "headline"])
+    ap.add_argument("--op", default="fp8_gemm",
+                    choices=["gemm", "fp8_gemm"])
+    ap.add_argument("--out-dir", default="autotune_results")
+    ap.add_argument("--cache", default=None,
+                    help="persistent tiling cache path (default: "
+                         "<out-dir>/tilings.jsonl)")
+    ap.add_argument("--max-candidates", type=int, default=20,
+                    help="analytically-best prefix per shape (cost control; "
+                         "the reference burned 5h/shape unpruned)")
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--world", type=int, default=1)
+    ap.add_argument("--shapes", nargs="*", type=int, default=None,
+                    help="explicit M N K triples (flat list)")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from deepgemm_ascend_tpu.bench import shapes as shape_suites
+    from deepgemm_ascend_tpu.bench import timing
+    from deepgemm_ascend_tpu.ops import fp8_gemm as fp8mod
+    from deepgemm_ascend_tpu.ops import gemm as gemm_mod
+    from deepgemm_ascend_tpu.ops import quant
+    from deepgemm_ascend_tpu.tiling import autotune
+    from deepgemm_ascend_tpu.tiling.cache import TilingCache
+    from deepgemm_ascend_tpu.utils import golden
+    from deepgemm_ascend_tpu.utils.common import round_up
+
+    if args.shapes:
+        flat = args.shapes
+        suite = [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]
+    else:
+        suite = {"reference": shape_suites.REFERENCE_SUITE,
+                 "dynamic": shape_suites.DYNAMIC_SWEEP,
+                 "headline": [shape_suites.HEADLINE]}[args.suite]
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    cache = TilingCache(args.cache or os.path.join(args.out_dir,
+                                                   "tilings.jsonl"))
+
+    for m, n, k in suite:
+        if args.op == "fp8_gemm":
+            # fp8 contract: n, k multiples of 128 — pad the sweep shape.
+            n2, k2 = round_up(n, 128), round_up(k, 128)
+            a = golden.gen_heavy_tail((m, k2), seed=0)
+            b = golden.gen_heavy_tail((k2, n2), seed=1)
+            a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+            b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
+            bse = fp8mod.expand_weight_scales(b_s, n2)
+
+            def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, bse=bse):
+                f = lambda aq, asc, bq, bs: fp8mod.fp8_gemm_with_config(
+                    aq, asc, bq, bs, config=cfg)
+                t = timing.time_gemm_like(f, a_q, a_s, b_q, bse,
+                                          iters=args.iters, repeats=2)
+                return t.seconds
+
+            in_dtype, m2 = jnp.float8_e4m3fn, m
+        else:
+            a = jnp.asarray(golden.gen_heavy_tail((m, k), seed=0),
+                            jnp.bfloat16)
+            b = jnp.asarray(golden.gen_heavy_tail((k, n), seed=1),
+                            jnp.bfloat16)
+
+            def time_fn(cfg, a=a, b=b):
+                f = lambda x, y: gemm_mod.gemm_with_config(x, y, config=cfg)
+                t = timing.time_gemm_like(f, a, b, iters=args.iters,
+                                          repeats=2)
+                return t.seconds
+
+            in_dtype, m2, n2, k2 = jnp.bfloat16, m, n, k
+
+        tag = f"{args.op}_{m}x{n}x{k}_r{args.rank}"
+        tuner = autotune.Autotuner(
+            None, time_fn, op=args.op,
+            results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
+            checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
+            cache=cache, rank=args.rank, world=args.world)
+        win = tuner.sweep_shape(
+            m2, n2, k2, in_dtype=in_dtype,
+            out_dtype=jnp.bfloat16 if args.op == "fp8_gemm" else jnp.float32,
+            max_candidates=args.max_candidates, verbose=True)
+        print(f"[DGA-TPU] {m}x{n}x{k} winner: {win}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

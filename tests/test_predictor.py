@@ -1,0 +1,112 @@
+"""Learned predictor tests.
+
+Fixture strategy mirrors the reference (`test_get_best_config.py:28-37`):
+no shipped weights — tests fabricate a tiny real MLP checkpoint (here:
+trained on a synthetic analytic-cost dataset) and exercise the full predict
+path including the decline/fallback policy.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deepgemm_ascend_tpu.config import GemmConfig
+from deepgemm_ascend_tpu.tiling import analytic, cache, platform, predictor, selector
+
+
+def test_mlp_save_load_roundtrip(tmp_path):
+    w = predictor.MLPWeights.init(hidden=(8, 8), seed=1)
+    x = np.random.default_rng(0).normal(size=(5, predictor.FEATURES))
+    y1 = w.forward(x)
+    p = str(tmp_path / "mlp.npz")
+    w.save(p)
+    w2 = predictor.MLPWeights.load(p)
+    np.testing.assert_allclose(w2.forward(x), y1)
+
+
+def test_training_learns_analytic_cost():
+    # synthetic dataset: label = analytic roofline estimate (log time)
+    info = platform.detect()
+    rng = np.random.default_rng(0)
+    rows, times = [], []
+    for _ in range(400):
+        m, n, k = (int(rng.integers(64, 4096)) for _ in range(3))
+        cands = analytic.enumerate_candidates(m, n, k, 2, 2, 4, info)
+        bm, bn, bk = cands[rng.integers(len(cands))]
+        rows.append([m, n, k, bm, bn, bk])
+        times.append(analytic.estimate_time(
+            m, n, k, bm, bn, bk, 2, 2, 4, info, jnp.bfloat16).time_s)
+    arr = np.asarray(rows, np.float64)
+    feats = predictor._features(1, 1, 1, arr[:, 3:])
+    feats[:, :3] = np.log2(arr[:, :3] + 1.0)
+    log_t = np.log(np.asarray(times))
+    w = predictor.train(feats, log_t, hidden=(64, 64), epochs=200, seed=0)
+    pred = w.forward(feats)
+    corr = np.corrcoef(pred, log_t)[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_predictor_declines_on_few_candidates():
+    w = predictor.MLPWeights.init(hidden=(8,), seed=0)
+    p = predictor.TilingPredictor(w, min_candidates=10**6)
+    assert p.predict(256, 256, 256, jnp.bfloat16, jnp.float32) is None
+
+
+def test_predictor_declines_when_not_better_than_native():
+    # Constant-output MLP: predicted winner == predicted native → margin
+    # rule declines (≙ `get_best_config.py:587-621`).
+    w = predictor.MLPWeights.init(hidden=(8,), seed=0)
+    for ww in w.ws:
+        ww[:] = 0.0
+    p = predictor.TilingPredictor(w, min_candidates=1)
+    assert p.predict(4096, 4096, 4096, jnp.bfloat16, jnp.float32) is None
+
+
+def test_predictor_selects_when_confident():
+    # MLP scoring = +sum(log2 tiles): smallest tiles predicted fastest —
+    # clearly "faster" than the analytic pick (large tiles) → must select.
+    w = predictor.MLPWeights.init(hidden=(8,), seed=0)
+    w.ws = [np.zeros((predictor.FEATURES, 1))]
+    w.bs = [np.zeros((1,))]
+    w.ws[0][3:, 0] = 1.0  # larger tiles → higher predicted time
+    w.mean[:] = 0.0
+    w.std[:] = 1.0
+    p = predictor.TilingPredictor(w, min_candidates=1)
+    cfg = p.predict(4096, 4096, 4096, jnp.bfloat16, jnp.float32)
+    assert isinstance(cfg, GemmConfig)
+    assert cfg.block_n % 128 == 0
+    # it must have picked the minimal tile volume among candidates
+    assert cfg.block_m <= 32
+
+
+def test_selector_integration_and_fallback(tmp_path):
+    w = predictor.MLPWeights.init(hidden=(8,), seed=0)
+    p = predictor.TilingPredictor(w, min_candidates=10**6)  # always declines
+    selector.register_predictor(p)
+    try:
+        c = cache.TilingCache(str(tmp_path / "t.jsonl"))
+        cfg = selector.select_config(512, 512, 512, jnp.bfloat16,
+                                     jnp.float32, cache=c)
+        assert isinstance(cfg, GemmConfig)  # analytic fallback engaged
+    finally:
+        selector.register_predictor(None)
+
+
+def test_load_sweep_records(tmp_path):
+    import json
+    path = tmp_path / "sweep.jsonl"
+    recs = [
+        {"m": 128, "n": 256, "k": 512, "op": "gemm", "idx": 0,
+         "config": GemmConfig(128, 256, 256).to_dict(),
+         "time_s": 1e-4, "tflops": 1.0, "correct": True},
+        {"m": 128, "n": 256, "k": 512, "op": "gemm", "idx": 1,
+         "config": GemmConfig(64, 128, 128).to_dict(),
+         "time_s": -1.0, "tflops": 0.0, "correct": False},  # poisoned
+    ]
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    feats, logt = predictor.load_sweep_records([str(path)])
+    assert feats.shape == (1, predictor.FEATURES)
+    np.testing.assert_allclose(logt[0], np.log(1e-4))

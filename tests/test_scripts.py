@@ -1,0 +1,90 @@
+"""Script CLI tests — mirrors the reference scripts test tier
+(``scripts/tests/test_all_scripts.py``, 23 pytest cases, tempdir-isolated):
+golden generation/verification round trips, corrupted outputs fail, size
+mismatches detected, byte-exact file sizes.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(ROOT, "scripts")
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def run(script, *args, cwd):
+    return subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, script), *map(str, args)],
+        cwd=cwd, env=ENV, capture_output=True, text=True, timeout=300)
+
+
+def test_gen_golden_files_and_sizes(tmp_path):
+    r = run("gen_golden.py", 16, 24, 32, "--out-dir", str(tmp_path), cwd=ROOT)
+    assert r.returncode == 0, r.stderr
+    a = np.fromfile(tmp_path / "input" / "x1_gm.bin", np.float16)
+    b = np.fromfile(tmp_path / "input" / "x2_gm.bin", np.float16)
+    g = np.fromfile(tmp_path / "output" / "golden.bin", np.float32)
+    assert a.size == 16 * 32 and b.size == 32 * 24 and g.size == 16 * 24
+    want = a.reshape(16, 32).astype(np.float64) @ b.reshape(32, 24).astype(np.float64)
+    np.testing.assert_allclose(g.reshape(16, 24), want.astype(np.float32),
+                               rtol=1e-6)
+
+
+def test_verify_passes_identical(tmp_path):
+    run("gen_golden.py", 8, 8, 8, "--out-dir", str(tmp_path), cwd=ROOT)
+    g = tmp_path / "output" / "golden.bin"
+    r = run("verify_output.py", str(g), str(g), cwd=ROOT)
+    assert r.returncode == 0 and "PASS" in r.stdout
+
+
+def test_verify_fails_on_2x_error(tmp_path):
+    run("gen_golden.py", 8, 8, 8, "--out-dir", str(tmp_path), cwd=ROOT)
+    g = tmp_path / "output" / "golden.bin"
+    bad = np.fromfile(g, np.float32) * 2.0
+    badf = tmp_path / "bad.bin"
+    bad.tofile(badf)
+    r = run("verify_output.py", str(badf), str(g), cwd=ROOT)
+    assert r.returncode == 1 and "FAIL" in r.stdout
+
+
+def test_verify_detects_size_mismatch(tmp_path):
+    run("gen_golden.py", 8, 8, 8, "--out-dir", str(tmp_path), cwd=ROOT)
+    g = tmp_path / "output" / "golden.bin"
+    short = np.fromfile(g, np.float32)[:-1]
+    sf = tmp_path / "short.bin"
+    short.tofile(sf)
+    r = run("verify_output.py", str(sf), str(g), cwd=ROOT)
+    assert r.returncode == 2 and "size mismatch" in r.stdout
+
+
+def test_verify_tolerates_small_outlier_fraction(tmp_path):
+    run("gen_golden.py", 64, 64, 16, "--out-dir", str(tmp_path), cwd=ROOT)
+    g = tmp_path / "output" / "golden.bin"
+    arr = np.fromfile(g, np.float32)
+    arr[0] *= 100.0  # 1/4096 outliers < default 1e-4? no: 2.4e-4 > 1e-4
+    f = tmp_path / "one_bad.bin"
+    arr.tofile(f)
+    r = run("verify_output.py", str(f), str(g), "--max-ratio", "1e-3",
+            cwd=ROOT)
+    assert r.returncode == 0, r.stdout
+
+
+def test_xla_matmul_cross_check(tmp_path):
+    run("gen_golden.py", 16, 24, 32, "--out-dir", str(tmp_path), cwd=ROOT)
+    r = run("xla_matmul.py", 16, 24, 32, "--dir", str(tmp_path), cwd=ROOT)
+    assert r.returncode == 0, r.stderr
+    out = np.fromfile(tmp_path / "output" / "xla_out.bin", np.float32)
+    gold = np.fromfile(tmp_path / "output" / "golden.bin", np.float32)
+    np.testing.assert_allclose(out, gold, rtol=1e-2, atol=1e-2)
+
+
+def test_heavy_tail_flag(tmp_path):
+    r = run("gen_golden.py", 32, 32, 32, "--heavy-tail", "--out-dir",
+            str(tmp_path), cwd=ROOT)
+    assert r.returncode == 0
+    a = np.fromfile(tmp_path / "input" / "x1_gm.bin", np.float16)
+    assert (a < 0).any()  # heavy-tail has signs; uniform [1,10) does not
