@@ -62,14 +62,18 @@ def main() -> int:
         return 1
 
     flops = 2 * M * N * K
-    candidates = [GemmConfig(512, 512, 2048), GemmConfig(512, 1024, 1024),
-                  GemmConfig(512, 512, 1024)]
+    # Winners of the on-chip autotune sweep (autotune_results/, 2026-08-16);
+    # block_k = K lands on the static-scale-slice kernel. iters=256 keeps
+    # the ~30 ms RPC floor under 15% of the measured chain (at iters=32 the
+    # floor noise dominated and inflated results by up to +30%).
+    candidates = [GemmConfig(512, 512, 4096), GemmConfig(256, 1024, 4096),
+                  GemmConfig(512, 1024, 2048)]
     best_tf = 0.0
     for cfg in candidates:
         try:
             fn = lambda aq, asc, bq, bs, c=cfg: fp8mod.fp8_gemm_with_config(
                 aq, asc, bq, bs, config=c)
-            t = timing.time_gemm_like(fn, a_q, a_s, b_q, bse, iters=32)
+            t = timing.time_gemm_like(fn, a_q, a_s, b_q, bse, iters=256)
             tf = t.tflops(flops)
             log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
                 f"{t.seconds*1e3:.3f} ms = {tf:.1f} TF/s")

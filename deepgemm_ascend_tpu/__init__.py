@@ -43,6 +43,9 @@ def __getattr__(name):
         from .ops import quant as _m
         return getattr(_m, name)
     if name == "compat":
-        from . import compat
-        return compat
+        # NOTE: must go through importlib — `from . import compat` here
+        # looks the attribute up on this module first, re-entering this
+        # __getattr__ forever.
+        import importlib
+        return importlib.import_module(".compat", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

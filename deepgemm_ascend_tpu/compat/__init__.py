@@ -15,33 +15,67 @@ Gives users of ``deep_gemm_ascend`` (the reference's Python surface,
   blocks; mapped onto (block_m, block_n, block_k) on TPU. Remaining params
   slots are ignored (they were kernel-derived scratch in the reference).
 
-All three write into ``z`` logically; since JAX arrays are immutable the
-result is *returned* and ``z`` only fixes the output dtype/shape contract.
+All three write into ``z`` logically. Inputs may be JAX arrays, numpy
+arrays, or torch tensors (the reference's binding takes ``at::Tensor``,
+`python_api.cpp:30-36`); torch tensors are converted losslessly. When ``z``
+is a torch tensor the result is **copied into it** (true drop-in in-place
+semantics) and ``z`` is returned; for immutable JAX arrays the result is
+returned and ``z`` only fixes the output dtype/shape contract.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import GemmConfig
 from ..ops import bgemm, gemm
 from ..utils.common import round_up
 
 
+def _is_torch(x) -> bool:
+    return type(x).__module__.split(".")[0] == "torch"
+
+
+def _to_jax(x):
+    if x is None or isinstance(x, jnp.ndarray):
+        return x
+    if _is_torch(x):
+        return jnp.asarray(x.detach().cpu().numpy())
+    return jnp.asarray(x)
+
+
 def _check_out(out, z):
     if z is not None and tuple(z.shape) != tuple(out.shape):
         raise ValueError(f"output buffer shape {z.shape} != result {out.shape}")
-    return out if z is None else out.astype(z.dtype)
+    if z is None:
+        return out
+    if _is_torch(z):
+        import torch
+        with torch.no_grad():
+            z.copy_(torch.from_numpy(
+                np.asarray(out).astype(_np_dtype_of(z))))
+        return z
+    return out.astype(z.dtype)
+
+
+def _np_dtype_of(t):
+    import torch
+    return {torch.float32: np.float32, torch.float16: np.float16,
+            torch.bfloat16: np.float32,  # staged through f32; torch casts
+            torch.float64: np.float64}.get(t.dtype, np.float32)
 
 
 def run_mmad_custom(x, y, z=None):
     """Static-kernel path (≙ `python_api.cpp:13`, AOT mmad.cpp kernel)."""
+    x, y = _to_jax(x), _to_jax(y)
     out = bgemm(x, y) if x.ndim == 3 else gemm(x, y)
     return _check_out(out, z)
 
 
 def run_mmad_rtc(x, y, z=None):
     """JIT shape-specialized path (≙ `python_api.cpp:18` → mmad_rtc)."""
+    x, y = _to_jax(x), _to_jax(y)
     out = bgemm(x, y) if x.ndim == 3 else gemm(x, y)
     return _check_out(out, z)
 
@@ -56,6 +90,9 @@ def run_mmad_bench(x, y, z=None, params=None):
     """
     if params is None:
         return run_mmad_rtc(x, y, z)
+    x, y = _to_jax(x), _to_jax(y)
+    if _is_torch(params):
+        params = params.detach().cpu().numpy()
     p = [int(v) for v in list(params)[:6]]
     while len(p) < 6:
         p.append(1)

@@ -58,6 +58,10 @@ class GemmConfig:
     swizzle: SwizzleDir = SwizzleDir.M_MAJOR
     swizzle_group: int = 0               # 0 = plain raster order
     vmem_limit_bytes: int = 0            # 0 = compiler default
+    # Pre-pad K with zeros in HBM instead of masking the K tail in-kernel —
+    # decided by the padding cost model (tiling/padding.py, ≙ GetPaddingTag
+    # `select_kernel.cpp:82-268`). No-op when block_k divides K.
+    pad_k: bool = False
 
     def __post_init__(self):
         if self.block_m <= 0 or self.block_n <= 0 or self.block_k <= 0:

@@ -98,6 +98,28 @@ def _fp8_gemm_kernel_folded(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _fp8_gemm_kernel_static(a_ref, as_ref, b_ref, bs_ref, o_ref, *,
+                            groups: int, out_dtype, mxu_dtype):
+    """Single-K-step variant (nk == 1, i.e. block_k == K): every k-group
+    index is a *compile-time* constant, so the scale rows/columns are static
+    slices instead of one-hot selection dots — measured 175 vs 162 TF/s at
+    4096³ on v5e (the one-hot dots + their iota generation were the entire
+    gap to the pure-dot ceiling of ~172-175). The accumulator lives in
+    registers/VREGs (value accumulation) and is stored once.
+    """
+    acc = None
+    for g in range(groups):
+        a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
+        b_g = b_ref[g * BLOCK:(g + 1) * BLOCK, :]
+        if mxu_dtype is not None:
+            a_g = a_g.astype(mxu_dtype)
+            b_g = b_g.astype(mxu_dtype)
+        p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+        contrib = p * as_ref[:, g:g + 1] * bs_ref[g:g + 1, :]
+        acc = contrib if acc is None else acc + contrib
+    o_ref[:] = acc.astype(out_dtype)
+
+
 def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
                      nk: int, groups: int, kb_total: int, out_dtype,
                      mxu_dtype):
@@ -209,19 +231,49 @@ def fp8_gemm_with_config(
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
     kb_pad = kb  # one-hot selection never reads out of range
 
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=int(m * k + k * n + m * kb * 4 + kb * n * 4
+                           + m * n * jnp.dtype(out_dtype).itemsize),
+        transcendentals=0)
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(("parallel", "parallel") if nk == 1 else
+                                 ("parallel", "parallel", "arbitrary")),
+            **({"vmem_limit_bytes": config.vmem_limit_bytes}
+               if config.vmem_limit_bytes else {}),
+        )
+
+    if nk == 1 and scale_mode == "accum":
+        # Whole K in one grid step: static scale slices, no one-hot, no
+        # scratch accumulator (fastest path — the tuner's preferred configs
+        # land here whenever K fits VMEM).
+        kernel = functools.partial(
+            _fp8_gemm_kernel_static, groups=groups,
+            out_dtype=out_dtype, mxu_dtype=mxu_dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(nm, nn),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j: (i, 0)),
+                pl.BlockSpec((bm, kb), lambda i, j: (i, 0)),
+                pl.BlockSpec((bk, bn), lambda i, j: (0, j)),
+                pl.BlockSpec((kb, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+            **params,
+        )(a_q, a_scales.astype(jnp.float32), b_q, b_scales_expanded)
+
     kfn = {"accum": _fp8_gemm_kernel,
            "folded": _fp8_gemm_kernel_folded}[scale_mode]
     kernel = functools.partial(
         kfn, nk=nk, groups=groups, kb_total=kb,
         out_dtype=out_dtype, mxu_dtype=mxu_dtype)
 
-    params = {}
-    if not interpret:
-        params["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            **({"vmem_limit_bytes": config.vmem_limit_bytes}
-               if config.vmem_limit_bytes else {}),
-        )
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
@@ -236,11 +288,7 @@ def fp8_gemm_with_config(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=int(m * k + k * n + m * kb * 4 + kb * n * 4
-                               + m * n * jnp.dtype(out_dtype).itemsize),
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=interpret,
         **params,
     )(a_q, a_scales.astype(jnp.float32), b_q, b_scales_expanded)
@@ -258,13 +306,25 @@ def fp8_gemm(
     mxu_dtype=None,
     b_scales_expanded: bool = False,
     scale_mode: str = "accum",
+    auto_pad: bool = False,
 ) -> jax.Array:
     """Blockwise-scaled FP8 GEMM (DeepGEMM ``gemm_fp8_fp8_bf16_nt`` analogue).
 
     a_q: (m, k) e4m3 with a_scales (m, k/128) f32;
     b_q: (k, n) e4m3 with b_scales (k/128, n/128) f32 — or (k/128, n) if
     ``b_scales_expanded`` (pre-expanded once for static weights).
+    ``auto_pad`` lifts ragged n/k into the 128-multiple kernel contract via
+    scale-preserving zero padding (tiling/padding.py) and slices the output
+    back; without it ragged shapes raise.
     """
+    if auto_pad and not b_scales_expanded:
+        from ..tiling.padding import pad_fp8_operands
+        a_q, a_scales, b_q, b_scales, n_orig = pad_fp8_operands(
+            a_q, a_scales, b_q, b_scales)
+        out = fp8_gemm(a_q, a_scales, b_q, b_scales, out_dtype=out_dtype,
+                       config=config, interpret=interpret,
+                       mxu_dtype=mxu_dtype, scale_mode=scale_mode)
+        return out[:, :n_orig]
     m, k = a_q.shape
     _, n = b_q.shape
     cfg = selector.select_config(

@@ -111,6 +111,13 @@ def gemm_with_config(
     bm = min(config.block_m, _round_up(m, _sublane(a.dtype)))
     bn = min(config.block_n, _round_up(n, 128))
     bk = min(config.block_k, _round_up(k, 128))
+    if config.pad_k and k % bk:
+        # Pre-pad K in HBM instead of masking the tail on every grid step —
+        # the padding cost model's PAD_K decision (tiling/padding.py,
+        # ≙ the reference's explicit padding family `select_kernel.cpp:353-364`).
+        from ..tiling.padding import pad_k_operands
+        a, b = pad_k_operands(a, b, bk)
+        k = a.shape[1]
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
     k_rem = k - (nk - 1) * bk if k % bk else 0
 

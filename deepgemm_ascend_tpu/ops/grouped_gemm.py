@@ -83,27 +83,37 @@ def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
     @pl.when(active)
     def _compute():
-        kb_pad = as_ref.shape[1]
-        row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
-        sel = (row == k * groups + col).astype(jnp.float32)
-        s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        # one-hot dot (dynamic sublane slices need provably 8-aligned starts,
-        # impossible for groups < 8); overrun groups select exact zeros.
-        kb_rows = bs_ref.shape[1]
-        rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
-        cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
-        selT = (rT == k * groups + cT).astype(jnp.float32)
-        s_b_all = jnp.dot(selT, bs_ref[0],
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        if nk > 1:
+            # Scale selection per dynamic k step via one-hot dots (dynamic
+            # sublane slices need provably 8-aligned starts, impossible for
+            # groups < 8); overrun groups select exact zeros.
+            kb_pad = as_ref.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
+            sel = (row == k * groups + col).astype(jnp.float32)
+            s_a_all = jnp.dot(as_ref[:], sel,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            kb_rows = bs_ref.shape[1]
+            rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
+            cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
+            selT = (rT == k * groups + cT).astype(jnp.float32)
+            s_b_all = jnp.dot(selT, bs_ref[0],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
             b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
-            s_a = s_a_all[:, g:g + 1]
-            s_b = s_b_all[g:g + 1, :]
+            if nk > 1:
+                s_a = s_a_all[:, g:g + 1]
+                s_b = s_b_all[g:g + 1, :]
+            else:
+                # nk == 1: g is the global K-group index (a compile-time
+                # constant) → static scale slices, no one-hot (measured 175
+                # vs 162 TF/s on the dense twin, ops/fp8_gemm.py).
+                s_a = as_ref[:, g:g + 1]
+                s_b = bs_ref[0, g:g + 1, :]
             if ragged:
                 valid = k * groups + g < kb_total
                 a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
@@ -233,25 +243,32 @@ def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
     @pl.when(active)
     def _compute():
-        kb_pad = as_ref.shape[2]
-        row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
-        sel = (row == k * groups + col).astype(jnp.float32)
-        s_a_all = jnp.dot(as_ref[0], sel, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        kb_rows = bs_ref.shape[1]
-        rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
-        cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
-        selT = (rT == k * groups + cT).astype(jnp.float32)
-        s_b_all = jnp.dot(selT, bs_ref[0],
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        if nk > 1:
+            kb_pad = as_ref.shape[2]
+            row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
+            sel = (row == k * groups + col).astype(jnp.float32)
+            s_a_all = jnp.dot(as_ref[0], sel,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            kb_rows = bs_ref.shape[1]
+            rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
+            cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
+            selT = (rT == k * groups + cT).astype(jnp.float32)
+            s_b_all = jnp.dot(selT, bs_ref[0],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[0, :, g * BLOCK:(g + 1) * BLOCK]
             b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
-            s_a = s_a_all[:, g:g + 1]
-            s_b = s_b_all[g:g + 1, :]
+            if nk > 1:
+                s_a = s_a_all[:, g:g + 1]
+                s_b = s_b_all[g:g + 1, :]
+            else:
+                # Static scale slices (see the dense twin, ops/fp8_gemm.py).
+                s_a = as_ref[0, :, g:g + 1]
+                s_b = bs_ref[0, g:g + 1, :]
             if ragged:
                 valid = k * groups + g < kb_total
                 a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))

@@ -229,7 +229,7 @@ def get_best_config(
             {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]),
         info.hbm_gbps, info.num_cores)
     if cfg is not None:
-        return cfg
+        return _apply_padding_tag(cfg, m, n, k, a_itemsize, b_itemsize, info)
     in_dtype = {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]
     best, best_est = None, None
     for bm, bn, bk in enumerate_candidates(
@@ -246,5 +246,21 @@ def get_best_config(
     # N-major swizzle when the n extent dwarfs m — mirrors the reference's
     # swizzleDirection = m > n ? 0 : 1 (`tiling_params.h:63-64`).
     swz = SwizzleDir.M_MAJOR if m >= n else SwizzleDir.N_MAJOR
-    return GemmConfig(block_m=bm, block_n=bn, block_k=bk,
-                      kernel_type=ktype, k_split=ksplit, swizzle=swz)
+    cfg = GemmConfig(block_m=bm, block_n=bn, block_k=bk,
+                     kernel_type=ktype, k_split=ksplit, swizzle=swz)
+    return _apply_padding_tag(cfg, m, n, k, a_itemsize, b_itemsize, info)
+
+
+def _apply_padding_tag(cfg: GemmConfig, m: int, n: int, k: int,
+                       a_itemsize: int, b_itemsize: int,
+                       info: plat.PlatformInfo) -> GemmConfig:
+    """Attach the mask-vs-pad K-tail decision (tiling/padding.py) — applied
+    uniformly whether the tile search ran in C++ or Python, keeping the two
+    backends equivalence-testable."""
+    from . import padding
+    tag = padding.get_padding_tag(
+        m, n, k, cfg.block_m, cfg.block_n, cfg.block_k,
+        a_itemsize, b_itemsize, info)
+    if tag.tag == padding.PaddingTag.PAD_K:
+        return cfg.replace(pad_k=True)
+    return cfg

@@ -53,6 +53,7 @@ class PlatformInfo:
     peak_bf16_tflops: float = 197.0
     peak_int8_tops: float = 394.0
     ici_gbps: float = 0.0           # per-link ICI bandwidth (one direction)
+    vpu_tops: float = 1.8           # VPU elementwise throughput (Top/s)
 
     def peak_flops(self, dtype) -> float:
         """Peak FLOP/s for matmuls with the given *input* dtype."""
@@ -67,13 +68,13 @@ class PlatformInfo:
 
 _KNOWN = {
     # device_kind (lowered, substring match) -> PlatformInfo
-    "v5 lite": PlatformInfo("tpu v5e", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 819.0, 197.0, 394.0, 186.0),
-    "v5e": PlatformInfo("tpu v5e", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 819.0, 197.0, 394.0, 186.0),
-    "v5p": PlatformInfo("tpu v5p", 2, 16 * 2**20, MXU, LANE, 95 * 2**30, 2765.0, 459.0, 918.0, 800.0),
-    "v5": PlatformInfo("tpu v5e", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 819.0, 197.0, 394.0, 186.0),
-    "v4": PlatformInfo("tpu v4", 2, 16 * 2**20, MXU, LANE, 32 * 2**30, 1228.0, 275.0, 275.0, 400.0),
-    "v6": PlatformInfo("tpu v6e", 1, 16 * 2**20, MXU, LANE, 32 * 2**30, 1640.0, 918.0, 1836.0, 360.0),
-    "cpu": PlatformInfo("cpu", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 100.0, 1.0, 2.0, 0.0),
+    "v5 lite": PlatformInfo("tpu v5e", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 819.0, 197.0, 394.0, 186.0, 1.8),
+    "v5e": PlatformInfo("tpu v5e", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 819.0, 197.0, 394.0, 186.0, 1.8),
+    "v5p": PlatformInfo("tpu v5p", 2, 16 * 2**20, MXU, LANE, 95 * 2**30, 2765.0, 459.0, 918.0, 800.0, 4.0),
+    "v5": PlatformInfo("tpu v5e", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 819.0, 197.0, 394.0, 186.0, 1.8),
+    "v4": PlatformInfo("tpu v4", 2, 16 * 2**20, MXU, LANE, 32 * 2**30, 1228.0, 275.0, 275.0, 400.0, 3.0),
+    "v6": PlatformInfo("tpu v6e", 1, 16 * 2**20, MXU, LANE, 32 * 2**30, 1640.0, 918.0, 1836.0, 360.0, 3.6),
+    "cpu": PlatformInfo("cpu", 1, 16 * 2**20, MXU, LANE, 16 * 2**30, 100.0, 1.0, 2.0, 0.0, 0.1),
 }
 
 

@@ -99,3 +99,25 @@ def test_selector_end_to_end_uses_native():
     cfg = analytic.get_best_config(4096, 4096, 4096)
     assert isinstance(cfg, GemmConfig)
     assert cfg.block_n % 128 == 0 and cfg.block_k % 128 == 0
+
+
+def test_native_cpp_unit_suite(tmp_path):
+    """Build + run the native assert suite (csrc/dga_core_test.cpp — the
+    gtest-tier analogue, ≙ `aclnn_.../tests/CMakeLists.txt:14-39`)."""
+    import shutil
+    import subprocess
+
+    cxx = shutil.which(os.environ.get("CXX", "g++")) or shutil.which("c++")
+    if cxx is None:
+        pytest.skip("no C++ compiler")
+    csrc = os.path.join(os.path.dirname(native.__file__), "csrc")
+    exe = str(tmp_path / "dga_core_test")
+    subprocess.run(
+        [cxx, "-O1", "-std=c++17",
+         os.path.join(csrc, "dga_core.cpp"),
+         os.path.join(csrc, "dga_core_test.cpp"), "-o", exe],
+        check=True, capture_output=True, timeout=180)
+    res = subprocess.run([exe, str(tmp_path / "cache.csv")],
+                         capture_output=True, text=True, timeout=60)
+    assert res.returncode == 0, res.stderr
+    assert "all checks passed" in res.stdout
