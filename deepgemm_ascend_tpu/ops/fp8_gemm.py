@@ -23,6 +23,7 @@ and pass ``b_scales_expanded=True``.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -37,7 +38,45 @@ from ..utils.common import ceil_div
 from .gemm import _interpret_default
 from .quant import BLOCK
 
-__all__ = ["fp8_gemm", "fp8_gemm_with_config", "expand_weight_scales"]
+__all__ = ["fp8_gemm", "fp8_gemm_with_config", "expand_weight_scales",
+           "exact_mode"]
+
+# Trace-time flag: route fp8 GEMMs (dense + grouped) through an exact
+# emulated-dequant f32 XLA path instead of the Pallas kernels. The golden
+# model at *model* scale — lets eval harnesses (scripts/eval_quality.py)
+# measure kernel arithmetic fidelity (MXU bf16-pass rounding) end-to-end.
+# NOTE: read when a jit traces, not when it runs — create a fresh jitted
+# callable per mode, never flip the flag under an already-traced function.
+_exact = False
+
+
+@contextlib.contextmanager
+def exact_mode():
+    """Context manager: fp8 ops compute the emulated-dequant f32 reference
+    (≙ ops/reference.py, but jittable/XLA) for the duration of tracing."""
+    global _exact
+    prev, _exact = _exact, True
+    try:
+        yield
+    finally:
+        _exact = prev
+
+
+def exact_enabled() -> bool:
+    return _exact
+
+
+def _dequant_a(a_q: jax.Array, a_scales: jax.Array) -> jax.Array:
+    k = a_q.shape[-1]
+    s = jnp.repeat(a_scales.astype(jnp.float32), BLOCK, axis=-1)[..., :k]
+    return a_q.astype(jnp.float32) * s
+
+
+def _dequant_b(b_q: jax.Array, bse: jax.Array) -> jax.Array:
+    """bse is the lane-expanded (…, k/128, n) panel."""
+    k = b_q.shape[-2]
+    s = jnp.repeat(bse.astype(jnp.float32), BLOCK, axis=-2)
+    return b_q.astype(jnp.float32) * s[..., :k, :]
 
 
 def expand_weight_scales(b_scales: jax.Array, n: int) -> jax.Array:
@@ -317,6 +356,12 @@ def fp8_gemm(
     scale-preserving zero padding (tiling/padding.py) and slices the output
     back; without it ragged shapes raise.
     """
+    if _exact:
+        bse = (b_scales if b_scales_expanded
+               else expand_weight_scales(b_scales, b_q.shape[1]))
+        return jnp.dot(_dequant_a(a_q, a_scales), _dequant_b(b_q, bse),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(out_dtype)
     if auto_pad and not b_scales_expanded:
         from ..tiling.padding import pad_fp8_operands
         a_q, a_scales, b_q, b_scales, n_orig = pad_fp8_operands(

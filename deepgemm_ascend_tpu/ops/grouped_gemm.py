@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import GemmConfig
 from ..tiling import selector
 from ..utils.common import ceil_div, round_up
+from . import fp8_gemm as fp8mod
 from .gemm import _interpret_default
 from .quant import BLOCK
 
@@ -203,6 +204,20 @@ def m_grouped_gemm_contiguous(
         raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape} "
                          f"(k and n must be multiples of {BLOCK})")
     n_tiles = jnp.shape(tile_group_ids)[0]  # static even under tracing
+    if fp8mod.exact_enabled():
+        bm_ex = m // max(n_tiles, 1)
+        gid_rows = jnp.repeat(jnp.asarray(tile_group_ids, jnp.int32), bm_ex)
+        bse_ex = (b_scales.astype(jnp.float32) if b_scales_expanded else
+                  jnp.repeat(b_scales.astype(jnp.float32), BLOCK,
+                             axis=2)[:, :, :n])
+        a = fp8mod._dequant_a(a_q, a_scales)
+        b = fp8mod._dequant_b(b_q, bse_ex)
+        y = jnp.zeros((m, n), jnp.float32)
+        for ei in range(e):  # static expert loop — eval path only
+            ye = jnp.dot(a, b[ei], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            y = y + jnp.where((gid_rows == ei)[:, None], ye, 0.0)
+        return y.astype(out_dtype)
     cfg = selector.select_config(
         max(m // max(n_tiles, 1), 1), n, k,
         a_q.dtype, out_dtype, op="grouped_gemm", k_granularity=BLOCK,
@@ -355,11 +370,22 @@ def m_grouped_gemm_masked(
     if e != e2 or k != k2 or k % BLOCK or n % BLOCK:
         raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape} "
                          f"(k and n must be multiples of {BLOCK})")
+    bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
+              jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=2)[:, :, :n])
+    if fp8mod.exact_enabled():
+        # Exact emulated-dequant path (fp8mod.exact_mode()) — the model-scale
+        # golden; masked rows zeroed to match kernel semantics.
+        a = fp8mod._dequant_a(a_q, a_scales)
+        b = fp8mod._dequant_b(b_q, bs_exp)
+        y = jnp.einsum("emk,ekn->emn", a, b,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        rows = jnp.arange(m_max)[None, :, None]
+        y = jnp.where(rows < jnp.asarray(masked_m)[:, None, None], y, 0.0)
+        return y.astype(out_dtype)
     cfg = selector.select_config(
         m_max, n, k, a_q.dtype, out_dtype, op="grouped_gemm_masked",
         k_granularity=BLOCK, override=config)
-    bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
-              jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=2)[:, :, :n])
     if interpret is None:
         interpret = _interpret_default()
     return _grouped_masked_call(

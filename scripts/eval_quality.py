@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Model-scale numerics evaluation: perplexity + kernel fidelity.
+
+The BASELINE serving config asks for a perplexity measurement alongside
+tokens/s. With randomly-initialized weights (no shipped checkpoints — same
+stance as the reference, whose MLP weights are also not shipped) absolute
+perplexity is meaningless; what IS measurable and meaningful:
+
+1. **Kernel fidelity**: run the identical model twice — once through the
+   Pallas fp8 kernels, once through the exact emulated-dequant f32 path
+   (``fp8_gemm.exact_mode()``) — on the same tokens, and report the
+   perplexity delta, mean KL(exact ‖ kernel), and next-token top-1
+   agreement. This isolates the kernels' only approximation (MXU bf16-pass
+   rounding under fp32 accumulation) at full-model depth. Acceptance
+   mirrors the reference's outlier-ratio form on logits.
+2. **Teacher-forced perplexity** of both paths on model-generated text
+   (non-degenerate target distribution).
+
+Prints ONE JSON line. Runs on TPU or CPU (interpret kernels).
+
+Example:
+  python scripts/eval_quality.py --model tiny --batch 4 --steps 24
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny", choices=["tiny", "v2_lite"])
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=24,
+                    help="decode steps to evaluate")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepgemm_ascend_tpu.models import (TINY, V2_LITE, decode_step,
+                                            init_cache, init_params)
+    from deepgemm_ascend_tpu.ops import fp8_gemm as fp8mod
+
+    cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
+    params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    max_seq = args.steps + 8
+
+    def make_step(exact: bool):
+        """Fresh jit per mode — the exact flag is read at trace time."""
+        caches = init_cache(cfg, args.batch, max_seq=max_seq)
+        toks = jnp.zeros((args.batch,), jnp.int32)
+        lens = jnp.zeros((args.batch,), jnp.int32)
+        if exact:
+            with fp8mod.exact_mode():
+                step = jax.jit(functools.partial(decode_step, cfg=cfg))
+                step(params, toks, caches, lens)  # trace inside the context
+        else:
+            step = jax.jit(functools.partial(decode_step, cfg=cfg))
+        return step
+
+    def run(step, token_stream=None):
+        """Drive ``step``; returns (tokens (b, steps), logits (steps, b, V)).
+        With ``token_stream`` the path is teacher-forced on those tokens;
+        otherwise it free-runs greedily."""
+        caches = init_cache(cfg, args.batch, max_seq=max_seq)
+        toks = jnp.zeros((args.batch,), jnp.int32)
+        lens = jnp.zeros((args.batch,), jnp.int32)
+        all_logits, all_toks = [], []
+        for t in range(args.steps):
+            logits, caches = step(params, toks, caches, lens)
+            all_logits.append(np.asarray(logits, np.float32))
+            if token_stream is None:
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                toks = jnp.asarray(token_stream[:, t])
+            all_toks.append(np.asarray(toks))
+            lens = lens + 1
+        return np.stack(all_toks, 1), np.stack(all_logits, 0)
+
+    step_k = make_step(exact=False)
+    step_e = make_step(exact=True)
+    toks_k, logit_k = run(step_k)                 # kernel path drives the text
+    _, logit_e = run(step_e, token_stream=toks_k)  # exact path teacher-forced
+    # Token inputs are identical at every step; each path evolves its own KV
+    # cache, so the logit gap measures COMPOUNDED kernel arithmetic error
+    # over depth × steps — the honest model-scale fidelity number.
+    def softmax(x):
+        x = x - x.max(-1, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(-1, keepdims=True)
+
+    p_k = softmax(logit_k)
+    p_e = softmax(logit_e)
+    agree = (logit_k.argmax(-1) == logit_e.argmax(-1))
+    # With random weights the logit landscape is nearly flat, so argmax
+    # near-ties legitimately flip under the MXU's ~2^-8 rounding. A flip
+    # only indicates a real fidelity problem when the exact path was
+    # CONFIDENT: top-1 prob margin over top-2 above a threshold.
+    part = np.partition(p_e, -2, axis=-1)
+    margin = part[..., -1] - part[..., -2]
+    confident_flip = (~agree) & (margin > 0.05)
+    kl = np.sum(p_e * (np.log(p_e + 1e-12) - np.log(p_k + 1e-12)), axis=-1)
+
+    # Teacher-forced NLL of each path's own next-token distribution against
+    # the kernel-path generated text (steps t predicts token at t).
+    b_idx = np.arange(args.batch)
+    nll_k = np.stack([-np.log(p_k[t, b_idx, toks_k[:, t]] + 1e-12)
+                      for t in range(args.steps)])
+    ppl_k = float(np.exp(nll_k.mean()))
+    nll_e = np.stack([-np.log(p_e[t, b_idx, toks_k[:, t]] + 1e-12)
+                      for t in range(args.steps)])
+    ppl_e = float(np.exp(nll_e.mean()))
+
+    out = {
+        "metric": "fp8_kernel_fidelity",
+        "model": args.model,
+        "steps": args.steps,
+        "batch": args.batch,
+        "top1_agreement": float(agree.mean()),
+        "confident_disagreements": int(confident_flip.sum()),
+        "mean_kl_exact_vs_kernel": float(kl.mean()),
+        "max_kl": float(kl.max()),
+        "ppl_kernel": round(ppl_k, 4),
+        "ppl_exact": round(ppl_e, 4),
+        "ppl_rel_delta": (abs(ppl_k - ppl_e) / ppl_e if ppl_e > 0 else 0.0),
+        "ok": bool(confident_flip.sum() == 0 and kl.mean() < 5e-3),
+    }
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

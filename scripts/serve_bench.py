@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Serving throughput benchmark: MoE decode tokens/s (+ scaling harness).
+
+Covers the BASELINE serving config's measurement side:
+
+* ``--mode scan``   — device-side greedy decode loop (one dispatch for N
+  steps via ``lax.scan``): peak decode throughput of the compiled model.
+* ``--mode engine`` — the continuous-batching engine end-to-end (host
+  scheduling + per-step dispatch): serving-realistic tokens/s.
+* ``--mode scaling`` — tokens/s of the sharded dp/ep/tp decode step at
+  1 device vs N devices and the scaling efficiency. On this rig it runs on
+  a virtual CPU mesh (no multi-chip hardware) — numerically meaningless for
+  absolute throughput but it IS the measurement harness a real pod runs,
+  and it validates that sharded tokens/s accounting works end-to-end.
+
+Prints ONE JSON line per mode.
+
+Examples:
+  python scripts/serve_bench.py --mode scan --model v2_lite --batch 64 --steps 64
+  python scripts/serve_bench.py --mode engine --model tiny
+  python scripts/serve_bench.py --mode scaling --devices 8
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _scan_mode(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepgemm_ascend_tpu.bench.timing import _rpc_floor
+    from deepgemm_ascend_tpu.models import (TINY, V2_LITE,
+                                            generate_greedy_scan,
+                                            init_cache, init_params)
+
+    cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    caches = init_cache(cfg, args.batch, max_seq=args.steps + 8)
+    toks = jnp.zeros((args.batch,), jnp.int32)
+    lens = jnp.zeros((args.batch,), jnp.int32)
+
+    @jax.jit
+    def run(params, toks, caches, lens):
+        out, _ = generate_greedy_scan(params, toks, caches, lens, cfg,
+                                      steps=args.steps)
+        return jnp.sum(out)
+
+    float(run(params, toks, caches, lens))  # compile + warm
+    floor = _rpc_floor()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, toks, caches, lens))  # readback forces completion
+        best = min(best, time.perf_counter() - t0)
+    secs = max(best - floor, 1e-9)
+    tps = args.batch * args.steps / secs
+    print(json.dumps({
+        "metric": "moe_decode_tokens_per_s", "mode": "scan",
+        "model": args.model, "batch": args.batch, "steps": args.steps,
+        "tokens_per_s": round(tps, 1),
+        "ms_per_step": round(secs / args.steps * 1e3, 3),
+    }))
+
+
+def _engine_mode(args):
+    import jax
+
+    from deepgemm_ascend_tpu.models import TINY, V2_LITE, init_params
+    from deepgemm_ascend_tpu.serving import Engine
+
+    cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = Engine(params, cfg, max_slots=args.batch,
+                 max_seq_len=args.steps + 16)
+    prompts = [[1, 2, 3]] * args.batch
+    eng.generate(prompts, max_new_tokens=8)   # warm compiles
+    eng.stats.update(decode_steps=0, tokens_out=0, decode_time_s=0.0)
+    eng.generate(prompts, max_new_tokens=args.steps)
+    print(json.dumps({
+        "metric": "moe_decode_tokens_per_s", "mode": "engine",
+        "model": args.model, "slots": args.batch,
+        "tokens_per_s": round(eng.tokens_per_second, 1),
+        "decode_steps": eng.stats["decode_steps"],
+    }))
+
+
+def _scaling_mode(args):
+    # Force a CPU mesh BEFORE jax initializes a backend.
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                                 f"{args.devices}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from deepgemm_ascend_tpu.models import TINY, init_cache, init_params
+    from deepgemm_ascend_tpu.parallel import (make_mesh,
+                                              make_sharded_decode_step,
+                                              shard_caches, shard_params)
+
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def tps_at(ndev: int) -> float:
+        batch = max(args.batch, ndev)
+        mesh = make_mesh(dp=ndev, ep=1, tp=1, devices=jax.devices()[:ndev])
+        p = shard_params(mesh, params, cfg)
+        c = shard_caches(mesh, init_cache(cfg, batch, max_seq=args.steps + 8))
+        step = make_sharded_decode_step(mesh, cfg, params)
+        toks = jnp.zeros((batch,), jnp.int32)
+        lens = jnp.zeros((batch,), jnp.int32)
+        logits, c = step(p, toks, c, lens)  # compile
+        logits.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            logits, c = step(p, toks, c, lens)
+            lens = lens + 1
+        logits.block_until_ready()
+        return batch * args.steps / (time.perf_counter() - t0)
+
+    t1 = tps_at(1)
+    tn = tps_at(args.devices)
+    eff = tn / (t1 * args.devices)
+    print(json.dumps({
+        "metric": "decode_scaling_efficiency", "mode": "scaling",
+        "devices": args.devices, "backend": "cpu-virtual",
+        "tokens_per_s_1dev": round(t1, 1),
+        "tokens_per_s_ndev": round(tn, 1),
+        "efficiency": round(eff, 3),
+        "note": ("virtual CPU mesh — harness validation, not ICI "
+                 "performance; run on a pod for the real number"),
+    }))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="scan",
+                    choices=["scan", "engine", "scaling"])
+    ap.add_argument("--model", default="v2_lite", choices=["tiny", "v2_lite"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--devices", type=int, default=8)
+    args = ap.parse_args(argv)
+    {"scan": _scan_mode, "engine": _engine_mode,
+     "scaling": _scaling_mode}[args.mode](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,3 +135,43 @@ def test_fp8_gemm_folded_ragged_block_k():
                                       scale_mode="folded"), np.float32)
     assert not np.isnan(fold).any()
     assert verify.relative_l2_error(fold, acc) < 5e-3
+
+
+def test_exact_mode_matches_numpy_reference():
+    """fp8_gemm.exact_mode() must reproduce ops/reference.py bit-for-bit
+    (both are f64/f32-exact dequant); it is the model-scale golden used by
+    scripts/eval_quality.py."""
+    m, n, k = 32, 256, 384
+    a_q, a_s, b_q, b_s = _mk(m, n, k, seed=31)
+    with fp8mod.exact_mode():
+        got = np.asarray(fp8mod.fp8_gemm(a_q, a_s, b_q, b_s,
+                                         out_dtype=jnp.float32), np.float32)
+    assert not fp8mod.exact_enabled()  # context restored
+    ref = reference.fp8_gemm_reference(
+        np.asarray(a_q), np.asarray(a_s), np.asarray(b_q), np.asarray(b_s))
+    assert verify.relative_l2_error(got, ref) < 1e-6
+
+
+def test_exact_mode_grouped_masked_matches_kernel():
+    from deepgemm_ascend_tpu.ops import grouped_gemm as gg
+    e, m_max, k, n = 3, 32, 256, 128
+    rng = np.random.default_rng(37)
+    a = rng.normal(size=(e, m_max, k)).astype(np.float32)
+    b = rng.normal(size=(e, k, n)).astype(np.float32)
+    a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+    b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
+    masked_m = jnp.asarray([32, 7, 0], jnp.int32)
+    kern = np.asarray(gg.m_grouped_gemm_masked(
+        a_q, a_s, b_q, b_s, masked_m, out_dtype=jnp.float32,
+        interpret=True), np.float32)
+    with fp8mod.exact_mode():
+        exact = np.asarray(gg.m_grouped_gemm_masked(
+            a_q, a_s, b_q, b_s, masked_m, out_dtype=jnp.float32), np.float32)
+    # Interpret-mode kernel is also f32-exact → tight agreement on VALID
+    # rows. Rows in [masked_m, tile edge) are unspecified in the kernel
+    # (DeepGEMM semantics); exact mode zeroes them — compare valid only.
+    for ei, mm in enumerate([32, 7, 0]):
+        if mm:
+            assert verify.relative_l2_error(
+                exact[ei, :mm], kern[ei, :mm]) < 1e-5
+    assert np.all(exact[1, 7:] == 0) and np.all(exact[2] == 0)
