@@ -28,6 +28,12 @@ def main() -> int:
 
     from deepgemm_ascend_tpu.config import GemmConfig
     from deepgemm_ascend_tpu.bench import timing
+    from deepgemm_ascend_tpu.jit import compile_cache
+
+    try:  # kernels persist across runs (≙ the reference's on-disk fatbins)
+        compile_cache.enable_persistent_cache()
+    except Exception as e:
+        log(f"[bench] persistent cache unavailable: {e}")
     from deepgemm_ascend_tpu.ops import fp8_gemm as fp8mod
     from deepgemm_ascend_tpu.ops import quant, reference
     from deepgemm_ascend_tpu.tiling import platform as plat

@@ -61,6 +61,8 @@ def time_fn(
     iters: int = 32,
     repeats: int = 3,
     perturb: Callable | None = None,
+    min_chain_seconds: float = 0.0,
+    max_iters: int = 65536,
 ) -> Timing:
     """Time ``fn(*args)`` per-invocation.
 
@@ -70,6 +72,13 @@ def time_fn(
     If chaining is impossible (shapes differ), pass ``perturb=None`` and the
     same args are re-used — iterations are then independent but still inside
     one jit so device work is enqueued back-to-back.
+
+    ``min_chain_seconds``: adaptive-length guard for fast kernels. The
+    measured quantity is (chain − RPC floor); when the chain is comparable
+    to the ~30 ms floor, floor jitter dominates and per-iter times are junk
+    (observed: µs-scale kernels reporting >100% of roofline). If the pilot
+    chain comes in below this target, the scan is rebuilt with
+    proportionally more iterations (one extra compile) and re-measured.
     """
     first = args[0]
 
@@ -80,19 +89,39 @@ def time_fn(
             return x0 + s
         perturb = perturb_default
 
-    @jax.jit
-    def run(*a):
-        x0 = a[0]
+    def build(n):
+        @jax.jit
+        def run(*a):
+            x0 = a[0]
 
-        def body(x, _):
-            out = fn(x, *a[1:])
-            return perturb(out, x0), jnp.float32(0)
+            def body(x, _):
+                out = fn(x, *a[1:])
+                return perturb(out, x0), jnp.float32(0)
 
-        x_final, _ = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(jnp.asarray(x_final, jnp.float32))
+            x_final, _ = jax.lax.scan(body, x0, None, length=n)
+            return jnp.sum(jnp.asarray(x_final, jnp.float32))
+        return run
 
+    run = build(iters)
     float(run(*args))  # warm: compile + first execution
     floor = _rpc_floor()
+
+    # Growth loop, not one shot: the pilot's (chain − floor) is clamped from
+    # below by floor jitter, so one rescale can undershoot badly for µs-scale
+    # kernels (observed: 16 → 2604 iters still a 3 ms chain).
+    for _ in range(4):
+        if not (min_chain_seconds > 0 and iters < max_iters):
+            break
+        t0 = time.perf_counter()
+        float(run(*args))
+        chain = max(time.perf_counter() - t0 - floor, floor * 0.02)
+        if chain >= min_chain_seconds:
+            break
+        scale = min_chain_seconds / chain
+        iters = int(min(max_iters, max(iters + 1, iters * scale)))
+        run = build(iters)
+        float(run(*args))  # recompile + warm
+
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -109,6 +138,7 @@ def time_gemm_like(
     *rest: jax.Array,
     iters: int = 32,
     repeats: int = 3,
+    min_chain_seconds: float = 0.0,
 ) -> Timing:
     """Time a GEMM-shaped ``fn(a, *rest) -> (m, n)`` by chaining a scalar
     tap of the output back into ``a`` (keeps dtype/shape of ``a``)."""
@@ -117,4 +147,5 @@ def time_gemm_like(
             jnp.sum(out[:1, :1]), jnp.float32) * jnp.float32(1e-30)
         return a0 + tap.astype(a0.dtype)
 
-    return time_fn(fn, (a, *rest), iters=iters, repeats=repeats, perturb=perturb)
+    return time_fn(fn, (a, *rest), iters=iters, repeats=repeats,
+                   perturb=perturb, min_chain_seconds=min_chain_seconds)

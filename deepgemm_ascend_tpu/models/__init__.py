@@ -1,8 +1,9 @@
 from .attention import AttentionParams, KVCache, attention
 from .config import TINY, V2_LITE, ModelConfig
 from .layers import BF16Linear, Fp8Linear, rms_norm
+from .loader import load_params, load_safetensors
 from .model import (DenseFFN, LayerParams, ModelParams, decode_step, forward,
-                    init_cache, init_params)
+                    generate_greedy_scan, init_cache, init_params)
 from .moe import ExpertWeights, MoEParams, dispatch_masked, moe_block, route_topk
 
 __all__ = [
@@ -10,6 +11,7 @@ __all__ = [
     "TINY", "V2_LITE", "ModelConfig",
     "BF16Linear", "Fp8Linear", "rms_norm",
     "DenseFFN", "LayerParams", "ModelParams", "decode_step", "forward",
-    "init_cache", "init_params",
+    "generate_greedy_scan", "init_cache", "init_params",
+    "load_params", "load_safetensors",
     "ExpertWeights", "MoEParams", "dispatch_masked", "moe_block", "route_topk",
 ]

@@ -155,6 +155,37 @@ class TilingPredictor:
                           kernel_type=ktype, k_split=ksplit)
 
 
+# ---- default weights discovery -------------------------------------------
+
+DEFAULT_WEIGHTS_ENV = "DGA_PREDICTOR_PATH"
+
+
+def default_weights_path(op: str = "fp8_gemm") -> Optional[str]:
+    """Resolve predictor weights: $DGA_PREDICTOR_PATH, else the packaged
+    ``data/predictor_<op>.npz`` trained from on-chip sweeps (unlike the
+    reference, which declared model dirs but shipped no weights —
+    SURVEY.md §2.4)."""
+    env = os.environ.get(DEFAULT_WEIGHTS_ENV)
+    if env and os.path.exists(env):
+        return env
+    packaged = os.path.join(os.path.dirname(__file__), "..", "data",
+                            f"predictor_{op}.npz")
+    packaged = os.path.abspath(packaged)
+    return packaged if os.path.exists(packaged) else None
+
+
+def enable_default_predictor(op: str = "fp8_gemm", **kw) -> bool:
+    """Install the packaged/env-pathed predictor as selector tier 2.
+    Returns False (and changes nothing) when no weights are found."""
+    from . import selector
+    path = default_weights_path(op)
+    if path is None:
+        return False
+    selector.register_predictor(
+        TilingPredictor(MLPWeights.load(path), op=op, **kw))
+    return True
+
+
 # ---- training from autotuner sweep JSONL --------------------------------
 
 def load_sweep_records(paths: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                     help="analytically-best prefix per shape (cost control; "
                          "the reference burned 5h/shape unpruned)")
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--min-chain", type=float, default=0.25,
+                    help="grow iters until the timed chain is at least this "
+                         "many seconds (guards µs-kernels against RPC-floor "
+                         "jitter)")
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world", type=int, default=1)
     ap.add_argument("--shapes", nargs="*", type=int, default=None,
@@ -77,7 +81,8 @@ def main(argv=None) -> int:
                 f = lambda aq, asc, bq, bs: fp8mod.fp8_gemm_with_config(
                     aq, asc, bq, bs, config=cfg)
                 t = timing.time_gemm_like(f, a_q, a_s, b_q, bse,
-                                          iters=args.iters, repeats=2)
+                                          iters=args.iters, repeats=2,
+                                          min_chain_seconds=args.min_chain)
                 return t.seconds
 
             in_dtype, m2 = jnp.float8_e4m3fn, m
@@ -90,7 +95,8 @@ def main(argv=None) -> int:
             def time_fn(cfg, a=a, b=b):
                 f = lambda x, y: gemm_mod.gemm_with_config(x, y, config=cfg)
                 t = timing.time_gemm_like(f, a, b, iters=args.iters,
-                                          repeats=2)
+                                          repeats=2,
+                                          min_chain_seconds=args.min_chain)
                 return t.seconds
 
             in_dtype, m2, n2, k2 = jnp.bfloat16, m, n, k

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Render autotune sweep results into a benchmark report.
+
+≙ the reference's missing results story (it ships benchmark infrastructure
+but publishes no numbers — BASELINE.md): this tool turns the sweep jsonl
+records (tiling/autotune.py SweepResult lines) into a markdown table of
+best-config throughput per shape vs the device roofline.
+
+  python scripts/report_benchmarks.py autotune_results/*.jsonl \
+      --out docs/BENCHMARKS.md --device "tpu v5e"
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="+")
+    ap.add_argument("--out", default=None, help="write markdown here")
+    ap.add_argument("--device", default=None,
+                    help="device label (default: detected)")
+    args = ap.parse_args(argv)
+
+    from deepgemm_ascend_tpu.tiling import platform as plat
+
+    info = plat.detect()
+    device = args.device or info.device_kind
+    peaks = {"gemm": info.peak_bf16_tflops, "fp8_gemm": info.peak_bf16_tflops,
+             "grouped_gemm": info.peak_bf16_tflops}
+
+    best = {}
+    counts = defaultdict(int)
+    for pattern in args.files:
+        for path in sorted(glob.glob(pattern)):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        r = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
+                    counts[key] += 1
+                    if r.get("time_s", -1) > 0 and (
+                            key not in best
+                            or r["time_s"] < best[key]["time_s"]):
+                        best[key] = r
+
+    lines = [
+        f"# Benchmarks — {device}",
+        "",
+        "Best measured configuration per shape from the autotune sweeps "
+        "(readback-safe scan-chain timing, `bench/timing.py`). "
+        f"Roofline reference: {info.peak_bf16_tflops:.0f} TF/s "
+        "(bf16/fp8 MXU peak).",
+        "",
+        "| op | M | N | K | best (bm,bn,bk) | time | TF/s | % roofline | configs tried |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for key in sorted(best, key=lambda t: (t[0], t[1], t[2], t[3])):
+        r = best[key]
+        op, m, n, k = key
+        c = r["config"]
+        tf = r["tflops"]
+        pct = 100.0 * tf / peaks.get(op, info.peak_bf16_tflops)
+        t_us = r["time_s"] * 1e6
+        t_str = f"{t_us/1000:.3f} ms" if t_us >= 1000 else f"{t_us:.1f} us"
+        lines.append(
+            f"| {op} | {m} | {n} | {k} "
+            f"| {c['block_m']}×{c['block_n']}×{c['block_k']} "
+            f"| {t_str} | {tf:.1f} | {pct:.1f}% | {counts[key]} |")
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out} ({len(best)} shapes)")
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,3 +110,29 @@ def test_load_sweep_records(tmp_path):
     feats, logt = predictor.load_sweep_records([str(path)])
     assert feats.shape == (1, predictor.FEATURES)
     np.testing.assert_allclose(logt[0], np.log(1e-4))
+
+
+def test_packaged_default_predictor_loads_and_registers():
+    """The repo ships sweep-trained weights (deepgemm_ascend_tpu/data/);
+    enable_default_predictor must find them, register tier 2, and the
+    registered predictor must produce legal configs or decline cleanly."""
+    path = predictor.default_weights_path("fp8_gemm")
+    assert path is not None and path.endswith("predictor_fp8_gemm.npz")
+    try:
+        assert predictor.enable_default_predictor("fp8_gemm")
+        import jax.numpy as jnp
+        from deepgemm_ascend_tpu.tiling.cache import TilingCache
+        cfg = selector.select_config(4096, 4096, 4096,
+                                     jnp.float8_e4m3fn, jnp.bfloat16,
+                                     op="fp8_gemm", cache=TilingCache(None))
+        assert cfg.block_n % 128 == 0 and cfg.block_k % 128 == 0
+    finally:
+        selector.register_predictor(None)
+
+
+def test_default_predictor_env_override(tmp_path, monkeypatch):
+    w = predictor.MLPWeights.init()
+    p = str(tmp_path / "custom.npz")
+    w.save(p)
+    monkeypatch.setenv(predictor.DEFAULT_WEIGHTS_ENV, p)
+    assert predictor.default_weights_path("fp8_gemm") == p
