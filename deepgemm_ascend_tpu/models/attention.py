@@ -23,32 +23,44 @@ from .layers import Fp8Linear, apply_rope
 
 @dataclasses.dataclass
 class KVCache:
-    """Per-layer int8 KV cache. Shapes: (batch, max_seq, kv_heads, head_dim)."""
+    """Per-layer int8 KV cache.
 
-    k_q: jax.Array       # int8
-    k_s: jax.Array       # (batch, max_seq, kv_heads, 1) f32
+    Layout: values (batch, kv_heads, max_seq, head_dim) int8, scales
+    (batch, kv_heads, max_seq) f32 — S in the sublane dimension so the
+    flash-decode kernel's (block_s, head_dim) int8 blocks tile natively
+    (ops/flash_decode.py layout contract)."""
+
+    k_q: jax.Array       # (batch, kv_heads, max_seq, head_dim) int8
+    k_s: jax.Array       # (batch, kv_heads, max_seq) f32
     v_q: jax.Array
     v_s: jax.Array
 
     @classmethod
     def create(cls, batch: int, max_seq: int, kv_heads: int,
                head_dim: int) -> "KVCache":
-        z8 = jnp.zeros((batch, max_seq, kv_heads, head_dim), jnp.int8)
-        zs = jnp.zeros((batch, max_seq, kv_heads, 1), jnp.float32)
+        z8 = jnp.zeros((batch, kv_heads, max_seq, head_dim), jnp.int8)
+        zs = jnp.zeros((batch, kv_heads, max_seq), jnp.float32)
         return cls(k_q=z8, k_s=zs, v_q=jnp.copy(z8), v_s=jnp.copy(zs))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k_q.shape[2]
 
     def update(self, k_new: jax.Array, v_new: jax.Array,
                positions: jax.Array) -> "KVCache":
         """Write new tokens. k_new/v_new: (batch, s_new, kv_heads, hd);
         positions: (batch, s_new) int32 absolute slots."""
-        k_q, k_s = quant.quantize_int8(k_new, axis=-1)
+        k_q, k_s = quant.quantize_int8(k_new, axis=-1)   # (b,s,kvh,hd)/(…,1)
         v_q, v_s = quant.quantize_int8(v_new, axis=-1)
-        b_idx = jnp.arange(k_new.shape[0])[:, None]
+        b, s = positions.shape
+        # Advanced indices at axes 0 and 2 (slice between) → result dims
+        # (b, s, kvh, …), which is exactly the quantizer's output layout.
+        b_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
         return KVCache(
-            k_q=self.k_q.at[b_idx, positions].set(k_q),
-            k_s=self.k_s.at[b_idx, positions].set(k_s),
-            v_q=self.v_q.at[b_idx, positions].set(v_q),
-            v_s=self.v_s.at[b_idx, positions].set(v_s),
+            k_q=self.k_q.at[b_idx, :, positions].set(k_q),
+            k_s=self.k_s.at[b_idx, :, positions].set(k_s[..., 0]),
+            v_q=self.v_q.at[b_idx, :, positions].set(v_q),
+            v_s=self.v_s.at[b_idx, :, positions].set(v_s[..., 0]),
         )
 
 
@@ -114,25 +126,35 @@ def attention(
     cache = cache.update(k.astype(jnp.float32), v.astype(jnp.float32),
                          positions)
 
-    # Dequantize-in-contraction: int8 cache → f32 · scale.
-    kf = cache.k_q.astype(jnp.float32) * cache.k_s     # (b, S, kvh, hd)
-    vf = cache.v_q.astype(jnp.float32) * cache.v_s
-    # kv head of each LOCAL q head, by global head index.
-    kv_map = (head_offset + jnp.arange(heads)) // group          # (heads,)
-    kf_h = jnp.take(kf, kv_map, axis=2)                # (b, S, heads, hd)
-    vf_h = jnp.take(vf, kv_map, axis=2)
-    qf = q.astype(jnp.float32)
+    use_flash = (s == 1 and tp_heads is None
+                 and cfg.use_flash_decode and cache.max_seq % 8 == 0)
+    if use_flash:
+        # Streaming int8-cache kernel — no HBM dequant materialization
+        # (ops/flash_decode.py).
+        from ..ops.flash_decode import flash_decode_gqa
+        out = flash_decode_gqa(q[:, 0], cache.k_q, cache.k_s, cache.v_q,
+                               cache.v_s, seq_lens)
+        out = out.reshape(b, 1, heads * hd).astype(jnp.bfloat16)
+    else:
+        # XLA fallback: dequantize-in-contraction, int8 cache → f32 · scale.
+        kf = cache.k_q.astype(jnp.float32) * cache.k_s[..., None]
+        vf = cache.v_q.astype(jnp.float32) * cache.v_s[..., None]
+        # kv head of each LOCAL q head, by global head index.
+        kv_map = (head_offset + jnp.arange(heads)) // group      # (heads,)
+        kf_h = jnp.take(kf, kv_map, axis=1)            # (b, heads, S, hd)
+        vf_h = jnp.take(vf, kv_map, axis=1)
+        qf = q.astype(jnp.float32)
 
-    logits = jnp.einsum("bshd,bThd->bshT", qf, kf_h) / (hd ** 0.5)
-    max_seq = kf.shape[1]
-    t_idx = jnp.arange(max_seq)[None, None, :]                   # (1,1,S)
-    causal = t_idx[:, 0] <= positions[:, :, None]                # (b,s,S)
-    valid = t_idx[:, 0] < seq_lens[:, None, None]                # (b,1,S)→(b,s,S)
-    mask = (causal & valid)[:, :, None, :]                       # (b,s,1,S)
-    logits = jnp.where(mask, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bshT,bThd->bshd", probs, vf_h)
-    out = out.reshape(b, s, heads * hd).astype(jnp.bfloat16)
+        logits = jnp.einsum("bshd,bhTd->bshT", qf, kf_h) / (hd ** 0.5)
+        max_seq = kf.shape[2]
+        t_idx = jnp.arange(max_seq)[None, None, :]               # (1,1,S)
+        causal = t_idx[:, 0] <= positions[:, :, None]            # (b,s,S)
+        valid = t_idx[:, 0] < seq_lens[:, None, None]            # (b,s,S)
+        mask = (causal & valid)[:, :, None, :]                   # (b,s,1,S)
+        logits = jnp.where(mask, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bshT,bhTd->bshd", probs, vf_h)
+        out = out.reshape(b, s, heads * hd).astype(jnp.bfloat16)
     if axis_name is not None:
         # Partial o-projection per shard; reduce in f32 over ICI.
         proj = params.wo(out, out_dtype=jnp.float32)

@@ -31,6 +31,9 @@ class ModelConfig:
     # quantization
     fp8_weights: bool = True
     int8_kv: bool = True
+    # decode attention: Pallas streaming int8-cache kernel (flash_decode)
+    # vs the XLA dequantize-in-contraction fallback
+    use_flash_decode: bool = True
 
     @property
     def q_dim(self) -> int:

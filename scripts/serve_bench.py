@@ -42,7 +42,8 @@ def _scan_mode(args):
 
     cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
     params = init_params(jax.random.PRNGKey(0), cfg)
-    caches = init_cache(cfg, args.batch, max_seq=args.steps + 8)
+    caches = init_cache(cfg, args.batch,
+                        max_seq=args.max_seq or args.steps + 8)
     toks = jnp.zeros((args.batch,), jnp.int32)
     lens = jnp.zeros((args.batch,), jnp.int32)
 
@@ -64,6 +65,8 @@ def _scan_mode(args):
     print(json.dumps({
         "metric": "moe_decode_tokens_per_s", "mode": "scan",
         "model": args.model, "batch": args.batch, "steps": args.steps,
+        "max_seq": args.max_seq or args.steps + 8,
+        "flash_decode": cfg.use_flash_decode,
         "tokens_per_s": round(tps, 1),
         "ms_per_step": round(secs / args.steps * 1e3, 3),
     }))
@@ -147,6 +150,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--max-seq", type=int, default=0,
+                    help="KV cache length (scan mode; 0 = steps+8). Use a "
+                         "realistic value (2048/4096) to expose attention "
+                         "cache-bandwidth cost")
     args = ap.parse_args(argv)
     {"scan": _scan_mode, "engine": _engine_mode,
      "scaling": _scaling_mode}[args.mode](args)

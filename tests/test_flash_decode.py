@@ -1,0 +1,123 @@
+"""Flash-decode kernel tests: equivalence with the XLA attention fallback.
+
+The XLA dequantize-in-contraction path (models/attention.py else-branch) is
+the spec; the Pallas streaming kernel must match it on the same int8 cache
+to f32 tolerance (both do exact int8→float conversion; only the bf16 dots
+and probs rounding differ).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepgemm_ascend_tpu.models import TINY, decode_step, init_cache, init_params
+from deepgemm_ascend_tpu.models.attention import KVCache
+from deepgemm_ascend_tpu.ops import quant
+from deepgemm_ascend_tpu.ops.flash_decode import flash_decode_gqa
+from deepgemm_ascend_tpu.utils import verify
+
+
+def _mk_cache(rng, b, kvh, s_max, hd):
+    k = rng.normal(size=(b, kvh, s_max, hd)).astype(np.float32)
+    v = rng.normal(size=(b, kvh, s_max, hd)).astype(np.float32)
+    k_q, k_s = quant.quantize_int8(jnp.asarray(k), axis=-1)
+    v_q, v_s = quant.quantize_int8(jnp.asarray(v), axis=-1)
+    return (k_q, k_s[..., 0], v_q, v_s[..., 0])
+
+
+def _reference(q, k_q, k_s, v_q, v_s, seq_lens):
+    """Dense f64 attention over the dequantized cache (masked rows)."""
+    b, h, hd = q.shape
+    kvh = k_q.shape[1]
+    g = h // kvh
+    kf = np.asarray(k_q, np.float64) * np.asarray(k_s)[..., None]
+    vf = np.asarray(v_q, np.float64) * np.asarray(v_s)[..., None]
+    out = np.zeros((b, h, hd))
+    for bi in range(b):
+        ln = int(seq_lens[bi])
+        for hi in range(h):
+            if ln == 0:
+                continue
+            kv = hi // g
+            s = (np.asarray(q[bi, hi], np.float64)
+                 @ kf[bi, kv, :ln].T) / np.sqrt(hd)
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            out[bi, hi] = p @ vf[bi, kv, :ln]
+    return out
+
+
+@pytest.mark.parametrize("b,heads,kvh,s_max,hd,lens", [
+    (2, 4, 2, 64, 64, [64, 17]),          # full + ragged
+    (3, 8, 2, 128, 128, [1, 0, 100]),     # single-token, empty, partial
+    (1, 4, 4, 32, 64, [32]),              # MHA (group = 1)
+])
+def test_flash_matches_reference(b, heads, kvh, s_max, hd, lens):
+    rng = np.random.default_rng(0)
+    k_q, k_s, v_q, v_s = _mk_cache(rng, b, kvh, s_max, hd)
+    q = jnp.asarray(rng.normal(size=(b, heads, hd)), jnp.float32)
+    seq_lens = jnp.asarray(lens, jnp.int32)
+    got = np.asarray(flash_decode_gqa(q, k_q, k_s, v_q, v_s, seq_lens,
+                                      block_s=128, interpret=True))
+    want = _reference(q, k_q, k_s, v_q, v_s, lens)
+    res = verify.verify(got.astype(np.float32), want.astype(np.float32),
+                        rtol=2e-2, atol=2e-2, max_ratio=1e-3)
+    assert res.ok, res
+    assert np.all(got[np.asarray(lens) == 0] == 0)  # empty slots → zeros
+
+
+def test_flash_multiblock_online_softmax():
+    # Several S blocks exercise the running-max renormalization.
+    rng = np.random.default_rng(1)
+    b, heads, kvh, s_max, hd = 2, 4, 2, 512, 64
+    k_q, k_s, v_q, v_s = _mk_cache(rng, b, kvh, s_max, hd)
+    q = jnp.asarray(rng.normal(size=(b, heads, hd)) * 4.0, jnp.float32)
+    lens = [512, 300]
+    got = np.asarray(flash_decode_gqa(q, k_q, k_s, v_q, v_s,
+                                      jnp.asarray(lens, jnp.int32),
+                                      block_s=128, interpret=True))
+    want = _reference(q, k_q, k_s, v_q, v_s, lens)
+    res = verify.verify(got.astype(np.float32), want.astype(np.float32),
+                        rtol=2e-2, atol=2e-2, max_ratio=1e-3)
+    assert res.ok, res
+
+
+def test_decode_step_flash_vs_xla_fallback():
+    """The full model must produce (near-)identical logits with the flash
+    kernel and with the XLA attention path."""
+    cfg_flash = TINY
+    cfg_xla = dataclasses.replace(TINY, use_flash_decode=False)
+    assert cfg_flash.use_flash_decode
+    params = init_params(jax.random.PRNGKey(0), cfg_flash)
+    toks = jnp.asarray([3, 5], jnp.int32)
+
+    def run(cfg):
+        caches = init_cache(cfg, 2, max_seq=32)
+        lens = jnp.zeros((2,), jnp.int32)
+        logits = None
+        for t in range(4):
+            logits, caches = decode_step(params, toks + t, caches, lens, cfg)
+            lens = lens + 1
+        return np.asarray(logits, np.float32)
+
+    lf = run(cfg_flash)
+    lx = run(cfg_xla)
+    # The kernel's bf16 dots differ from the XLA path's f32 einsums by
+    # ~2^-8 per op; through the MoE the perturbation can flip top-k expert
+    # routing (discrete), so model-level logits tolerate more than the
+    # op-level 2e-2 (op-level equivalence vs f64 is the strong guarantee,
+    # tests above).
+    assert np.all(np.isfinite(lf))
+    assert verify.relative_l2_error(lf, lx) < 0.15
+
+
+def test_flash_rejects_bad_heads():
+    q = jnp.zeros((1, 5, 64))
+    k = jnp.zeros((1, 2, 32, 64), jnp.int8)
+    s = jnp.zeros((1, 2, 32))
+    with pytest.raises(ValueError):
+        flash_decode_gqa(q, k, s, k, s, jnp.zeros((1,), jnp.int32))

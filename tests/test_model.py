@@ -128,7 +128,9 @@ def test_kv_cache_update_roundtrip():
     v = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 2, 64))
     pos = jnp.broadcast_to(jnp.arange(3)[None], (2, 3))
     c2 = c.update(k, v, pos)
-    kf = np.asarray(c2.k_q, np.float32) * np.asarray(c2.k_s)
-    rel = verify.relative_l2_error(kf[:, :3], np.asarray(k))
+    # layout: (batch, kv_heads, S, head_dim); scales (batch, kv_heads, S)
+    kf = np.asarray(c2.k_q, np.float32) * np.asarray(c2.k_s)[..., None]
+    want = np.asarray(k).transpose(0, 2, 1, 3)       # (b, kvh, s, hd)
+    rel = verify.relative_l2_error(kf[:, :, :3], want)
     assert rel < 0.02, rel
-    assert np.all(np.asarray(c2.k_q)[:, 3:] == 0)
+    assert np.all(np.asarray(c2.k_q)[:, :, 3:] == 0)
