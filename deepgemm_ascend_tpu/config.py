@@ -55,8 +55,13 @@ class GemmConfig:
     block_k: int = 512
     kernel_type: KernelType = KernelType.COMMON
     k_split: int = 1                     # > 1 only for KSPLIT
+    # Major raster order only — the reference's *grouped* swizzle
+    # (swizzleOffset=3, `tiling_params.h:29`) exists for L2 locality across
+    # concurrent cores; a TPU TensorCore runs grid steps sequentially and
+    # reuses a block only when consecutive steps index the same one, which
+    # the major-order choice already maximizes (panel re-read volume is
+    # governed by block sizes and priced by the analytic roofline).
     swizzle: SwizzleDir = SwizzleDir.M_MAJOR
-    swizzle_group: int = 0               # 0 = plain raster order
     vmem_limit_bytes: int = 0            # 0 = compiler default
     # Pre-pad K with zeros in HBM instead of masking the K tail in-kernel —
     # decided by the padding cost model (tiling/padding.py, ≙ GetPaddingTag

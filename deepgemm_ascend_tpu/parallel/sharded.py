@@ -125,11 +125,18 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
         new_caches = []
         for layer, cache in zip(params.layers, caches):
             h = rms_norm(x, layer.attn_norm, cfg.rms_eps)
-            attn_out, cache = attention(
-                layer.attn, h, cache, positions, seq_lens + 1, cfg,
-                tp_heads=local_heads,
-                head_offset=jax.lax.axis_index("model") * local_heads,
-                axis_name="model")
+            if tp == 1:
+                # No head sharding → the flash-decode kernel path is
+                # eligible (dp/ep-only meshes, the common MoE decode
+                # deployment); psum over a size-1 "model" axis is a no-op.
+                attn_out, cache = attention(
+                    layer.attn, h, cache, positions, seq_lens + 1, cfg)
+            else:
+                attn_out, cache = attention(
+                    layer.attn, h, cache, positions, seq_lens + 1, cfg,
+                    tp_heads=local_heads,
+                    head_offset=jax.lax.axis_index("model") * local_heads,
+                    axis_name="model")
             new_caches.append(cache)
             x = x + attn_out
             h = rms_norm(x, layer.ffn_norm, cfg.rms_eps)

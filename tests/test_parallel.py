@@ -79,3 +79,22 @@ def test_sharded_decode_two_steps(setup):
     nxt = jnp.argmax(logits, -1).astype(jnp.int32)
     logits2, _ = step(p_sh, nxt, caches, lens + 1)
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_sharded_dp_ep_uses_flash_and_matches(setup):
+    """tp == 1 meshes route attention through the flash-decode kernel; the
+    result must equal the single-device (flash) jitted program bitwise —
+    dp/ep sharding touches no attention math."""
+    import functools
+    cfg, params = setup
+    b = 4
+    toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)
+    ref, _ = jax.jit(functools.partial(decode_step, cfg=cfg))(
+        params, toks, init_cache(cfg, b, 16), lens)
+    mesh = make_mesh(dp=2, ep=4, tp=1)
+    p = shard_params(mesh, params, cfg)
+    c = shard_caches(mesh, init_cache(cfg, b, 16))
+    step = make_sharded_decode_step(mesh, cfg, params)
+    logits, _ = step(p, toks, c, lens)
+    assert verify.relative_l2_error(np.asarray(logits), np.asarray(ref)) < 1e-6
