@@ -1,7 +1,8 @@
 from .attention import AttentionParams, KVCache, attention
 from .config import TINY, V2_LITE, ModelConfig
 from .layers import BF16Linear, Fp8Linear, rms_norm
-from .loader import load_params, load_safetensors
+from .loader import (load_params, load_quantized,
+                     load_safetensors, save_quantized)
 from .model import (DenseFFN, LayerParams, ModelParams, decode_step, forward,
                     generate_greedy_scan, init_cache, init_params)
 from .moe import ExpertWeights, MoEParams, dispatch_masked, moe_block, route_topk
@@ -12,6 +13,7 @@ __all__ = [
     "BF16Linear", "Fp8Linear", "rms_norm",
     "DenseFFN", "LayerParams", "ModelParams", "decode_step", "forward",
     "generate_greedy_scan", "init_cache", "init_params",
-    "load_params", "load_safetensors",
+    "load_params", "load_quantized", "load_safetensors",
+    "save_quantized",
     "ExpertWeights", "MoEParams", "dispatch_masked", "moe_block", "route_topk",
 ]

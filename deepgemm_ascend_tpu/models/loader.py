@@ -23,6 +23,7 @@ Name map (HF → ModelParams):
 
 from __future__ import annotations
 
+import os
 from typing import List, Mapping, Sequence
 
 import jax.numpy as jnp
@@ -136,3 +137,35 @@ def load_safetensors(paths: Sequence[str] | str,
             for name in f.keys():
                 state[name] = f.get_tensor(name)
     return load_params(state, cfg)
+
+
+# ---- quantized-checkpoint persistence (orbax) -----------------------------
+# Quantize-once-serve-forever: converting an HF checkpoint re-runs the fp8
+# blockwise quantizer over every weight; persisting the *quantized* pytree
+# makes serving cold-start a pure read. (The reference's persistence story
+# is kernels + tiling caches only — SURVEY.md §5 "no model checkpoints";
+# this is north-star serving surface.)
+
+def save_quantized(params: ModelParams, path: str) -> None:
+    """Write the quantized parameter pytree to an orbax checkpoint dir."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params)
+
+
+def load_quantized(path: str, cfg: ModelConfig) -> ModelParams:
+    """Restore a quantized checkpoint written by :func:`save_quantized`.
+
+    The target structure (incl. fp8/bf16 dtypes) comes from an abstract
+    ``init_params`` evaluation — no weights are materialized for it.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    from .model import init_params
+
+    template = jax.eval_shape(
+        lambda: init_params(jax.random.PRNGKey(0), cfg))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), item=template)

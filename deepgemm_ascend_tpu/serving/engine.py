@@ -35,6 +35,31 @@ def _bucket(n: int, lo: int = 8) -> int:
     return b
 
 
+def sample_logits(logits: jax.Array, key, *, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 1.0) -> jax.Array:
+    """Greedy (temperature 0) or temperature sampling with optional top-k /
+    nucleus (top-p) truncation. logits: (..., vocab) → (...,) int32."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = (jnp.sort(logits, axis=-1)[..., -top_k:-top_k + 1]
+               if top_k > 1 else jnp.max(logits, -1, keepdims=True))
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_l = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Smallest prefix with cumulative prob ≥ top_p stays; find its
+        # cutoff logit and mask everything strictly below it (the top-1
+        # token is always kept: cum − probs < top_p holds at rank 0).
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 class Engine:
     """Single-host serving engine (mesh-sharded variant via ``mesh=``)."""
 
@@ -48,6 +73,8 @@ class Engine:
         eos_id: Optional[int] = None,
         mesh=None,
         temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
         seed: int = 0,
     ):
         self.cfg = cfg
@@ -55,6 +82,8 @@ class Engine:
         self.max_seq_len = max_seq_len or cfg.max_seq_len
         self.scheduler = Scheduler(max_slots, self.max_seq_len, eos_id)
         self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
         self._key = jax.random.PRNGKey(seed)
         self._mesh = mesh
 
@@ -121,11 +150,9 @@ class Engine:
         return first
 
     def _sample(self, logits: jax.Array) -> jax.Array:
-        if self.temperature <= 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         self._key, sub = jax.random.split(self._key)
-        return jax.random.categorical(
-            sub, logits / self.temperature, axis=-1).astype(jnp.int32)
+        return sample_logits(logits, sub, temperature=self.temperature,
+                             top_k=self.top_k, top_p=self.top_p)
 
     # -- main loop ------------------------------------------------------------
     def step(self) -> Dict[int, List[int]]:

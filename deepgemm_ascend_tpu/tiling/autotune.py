@@ -156,14 +156,20 @@ class Autotuner:
         candidates = list(candidates)[self._rank::self._world]
         if max_candidates:
             # Cost control (`benchmark.py` burned "5h/shape"): keep the
-            # analytically-best prefix.
+            # analytically-best prefix — but always admit the best full-K
+            # candidates too: block_k == K selects the fp8 kernel's
+            # static-scale-slice fast path (ops/fp8_gemm.py), whose win the
+            # analytic roofline cannot see (it models traffic, not the
+            # one-hot scale-selection VPU cost).
             isz = jnp.dtype(in_dtype).itemsize
             osz = jnp.dtype(out_dtype).itemsize
             info = plat.detect()
             candidates.sort(key=lambda c: analytic.estimate_time(
                 m, n, k, c.block_m, c.block_n, c.block_k,
                 isz, isz, osz, info, in_dtype).time_s)
-            candidates = candidates[:max_candidates]
+            full_k = [c for c in candidates if c.block_k >= k][:2]
+            head = candidates[:max_candidates]
+            candidates = head + [c for c in full_k if c not in head]
 
         done = self._load_done()
         poisoned = self._poisoned_idx()

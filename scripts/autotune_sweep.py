@@ -48,7 +48,10 @@ def main(argv=None) -> int:
     from deepgemm_ascend_tpu.bench import shapes as shape_suites
     from deepgemm_ascend_tpu.bench import timing
     from deepgemm_ascend_tpu.ops import fp8_gemm as fp8mod
-    from deepgemm_ascend_tpu.ops import gemm as gemm_mod
+    # NB: "from ...ops import gemm" binds the re-exported FUNCTION (it
+    # shadows the submodule); import the symbols directly instead.
+    from deepgemm_ascend_tpu.ops.gemm import gemm as dense_gemm
+    from deepgemm_ascend_tpu.ops.gemm import gemm_with_config
     from deepgemm_ascend_tpu.ops import quant
     from deepgemm_ascend_tpu.tiling import autotune
     from deepgemm_ascend_tpu.tiling.cache import TilingCache
@@ -93,7 +96,7 @@ def main(argv=None) -> int:
                             jnp.bfloat16)
 
             def time_fn(cfg, a=a, b=b):
-                f = lambda x, y: gemm_mod.gemm_with_config(x, y, config=cfg)
+                f = lambda x, y: gemm_with_config(x, y, config=cfg)
                 t = timing.time_gemm_like(f, a, b, iters=args.iters,
                                           repeats=2,
                                           min_chain_seconds=args.min_chain)

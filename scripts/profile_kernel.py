@@ -34,6 +34,9 @@ def main(argv=None) -> int:
                     help="explicit tile (default: selector decision)")
     ap.add_argument("--k-split", type=int, default=1)
     ap.add_argument("--iters", type=int, default=128)
+    ap.add_argument("--min-chain", type=float, default=0.25,
+                    help="grow iters until the timed chain is at least this "
+                         "many seconds (µs-kernels vs RPC-floor jitter)")
     ap.add_argument("--trace-dir", default=None,
                     help="dump a jax.profiler trace here (one timed rep)")
     ap.add_argument("--check", action="store_true",
@@ -47,7 +50,10 @@ def main(argv=None) -> int:
     from deepgemm_ascend_tpu.config import GemmConfig, KernelType
     from deepgemm_ascend_tpu.bench import timing
     from deepgemm_ascend_tpu.ops import fp8_gemm as fp8mod
-    from deepgemm_ascend_tpu.ops import gemm as gemm_mod
+    # NB: "from ...ops import gemm" binds the re-exported FUNCTION (it
+    # shadows the submodule); import the symbols directly instead.
+    from deepgemm_ascend_tpu.ops.gemm import gemm as dense_gemm
+    from deepgemm_ascend_tpu.ops.gemm import gemm_with_config
     from deepgemm_ascend_tpu.ops import quant, reference
     from deepgemm_ascend_tpu.tiling import platform as plat
     from deepgemm_ascend_tpu.utils import golden, verify
@@ -89,7 +95,7 @@ def main(argv=None) -> int:
     else:
         a = jnp.asarray(golden.gen_heavy_tail((m, k), seed=0), jnp.bfloat16)
         b = jnp.asarray(golden.gen_heavy_tail((k, n), seed=1), jnp.bfloat16)
-        fn = lambda x, y: gemm_mod.gemm(x, y, config=cfg)
+        fn = lambda x, y: dense_gemm(x, y, config=cfg)
         call_args = (a, b)
         if args.check:
             ref = jnp.matmul(a, b, preferred_element_type=jnp.float32)
@@ -101,7 +107,8 @@ def main(argv=None) -> int:
             if not res.ok:
                 return 1
 
-    t = timing.time_gemm_like(fn, *call_args, iters=args.iters, repeats=3)
+    t = timing.time_gemm_like(fn, *call_args, iters=args.iters, repeats=3,
+                              min_chain_seconds=args.min_chain)
     flops = 2.0 * m * n * k
     peak = info.peak_flops(call_args[0].dtype) / 1e12
     tf = t.tflops(flops)

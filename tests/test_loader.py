@@ -128,3 +128,20 @@ def test_safetensors_roundtrip(tmp_path, state_and_params):
         np.asarray(params2.layers[0].attn.wq.w_q).view(np.uint8))
     np.testing.assert_array_equal(np.asarray(params.embed),
                                   np.asarray(params2.embed))
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path, state_and_params):
+    from deepgemm_ascend_tpu.models import load_quantized, save_quantized
+    _, params = state_and_params
+    path = str(tmp_path / "ckpt")
+    save_quantized(params, path)
+    restored = load_quantized(path, TINY)
+    # fp8 payloads bit-identical; structure preserved.
+    np.testing.assert_array_equal(
+        np.asarray(params.layers[0].attn.wq.w_q).view(np.uint8),
+        np.asarray(restored.layers[0].attn.wq.w_q).view(np.uint8))
+    np.testing.assert_array_equal(np.asarray(params.lm_head, np.float32),
+                                  np.asarray(restored.lm_head, np.float32))
+    moe = restored.layers[-1].ffn
+    from deepgemm_ascend_tpu.models.moe import MoEParams
+    assert isinstance(moe, MoEParams)

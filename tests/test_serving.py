@@ -99,3 +99,31 @@ def test_engine_tokens_per_second_counter(model):
     eng.generate([[1, 2], [3]], max_new_tokens=3)
     assert eng.stats["tokens_out"] >= 6
     assert eng.tokens_per_second > 0
+
+
+def test_sample_logits_modes():
+    from deepgemm_ascend_tpu.serving.engine import sample_logits
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0],
+                          [9.0, 0.0, 0.0, 0.0]], jnp.float32)
+    # greedy
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key)), [1, 0])
+    # top-k=1 == greedy even at high temperature
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temperature=5.0, top_k=1)),
+        [1, 0])
+    # top-k=2: only the two best tokens are ever drawn
+    draws = set()
+    for i in range(24):
+        s = sample_logits(logits, jax.random.PRNGKey(i), temperature=2.0,
+                          top_k=2)
+        draws.add(int(s[0]))
+    assert draws <= {1, 2}
+    # top-p tiny: collapses to the argmax token
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temperature=3.0, top_p=1e-6)),
+        [1, 0])
+    # top-p keeps sampling valid (finite token ids)
+    s = sample_logits(logits, key, temperature=1.0, top_p=0.9)
+    assert s.shape == (2,) and bool((s >= 0).all())
