@@ -144,6 +144,7 @@ class Autotuner:
         k_granularity: int = 128,
         max_candidates: Optional[int] = None,
         verbose: bool = False,
+        flops_scale: float = 1.0,
     ) -> Optional[GemmConfig]:
         """Sweep one shape; returns the winning config (None if all failed)."""
         if candidates is None:
@@ -174,7 +175,9 @@ class Autotuner:
         done = self._load_done()
         poisoned = self._poisoned_idx()
         best: Optional[SweepResult] = None
-        flops = 2 * m * n * k
+        # flops_scale: e.g. the expert count for grouped problems (the
+        # (m, n, k) key is per-expert; real work is E× that).
+        flops = 2 * m * n * k * flops_scale
 
         for idx, cfg in enumerate(candidates):
             if idx in done:

@@ -22,9 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="reference",
-                    choices=["reference", "dynamic", "headline"])
+                    choices=["reference", "dynamic", "headline", "grouped"])
     ap.add_argument("--op", default="fp8_gemm",
-                    choices=["gemm", "fp8_gemm"])
+                    choices=["gemm", "fp8_gemm", "grouped_masked"])
     ap.add_argument("--out-dir", default="autotune_results")
     ap.add_argument("--cache", default=None,
                     help="persistent tiling cache path (default: "
@@ -64,13 +64,56 @@ def main(argv=None) -> int:
     else:
         suite = {"reference": shape_suites.REFERENCE_SUITE,
                  "dynamic": shape_suites.DYNAMIC_SWEEP,
-                 "headline": [shape_suites.HEADLINE]}[args.suite]
+                 "headline": [shape_suites.HEADLINE],
+                 "grouped": (shape_suites.GROUPED_PREFILL
+                             + shape_suites.GROUPED_DECODE)}[args.suite]
 
     os.makedirs(args.out_dir, exist_ok=True)
     cache = TilingCache(args.cache or os.path.join(args.out_dir,
                                                    "tilings.jsonl"))
 
-    for m, n, k in suite:
+    for shape in suite:
+        if args.op == "grouped_masked":
+            # (E, M_max, N, K) — BASELINE configs 3-4 (MoE prefill/decode).
+            from deepgemm_ascend_tpu.ops import grouped_gemm as gg
+            e, m, n, k = shape
+            a = golden.gen_heavy_tail((e, m, k), seed=0)
+            b = golden.gen_heavy_tail((e, k, n), seed=1)
+            a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+            b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
+            bse = jnp.repeat(b_s, quant.BLOCK, axis=2)[:, :, :n]
+            masked_m = jnp.full((e,), m, jnp.int32)
+
+            def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, bse=bse,
+                        masked_m=masked_m):
+                f = lambda aq, asc, bq, bs, mm=masked_m: gg.m_grouped_gemm_masked(
+                    aq, asc, bq, bs, mm, config=cfg, b_scales_expanded=True)
+
+                def perturb(out, a0):
+                    import jax
+                    tap = jax.lax.convert_element_type(
+                        jnp.sum(out[:1, :1, :1]), jnp.float32) * jnp.float32(1e-30)
+                    return a0 + tap.astype(a0.dtype)
+
+                t = timing.time_fn(f, (a_q, a_s, b_q, bse),
+                                   iters=args.iters, repeats=2,
+                                   perturb=perturb,
+                                   min_chain_seconds=args.min_chain)
+                return t.seconds
+
+            tag = f"{args.op}_{e}x{m}x{n}x{k}_r{args.rank}"
+            tuner = autotune.Autotuner(
+                None, time_fn, op=args.op,
+                results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
+                checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
+                cache=cache, rank=args.rank, world=args.world)
+            win = tuner.sweep_shape(
+                m, n, k, in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
+                max_candidates=args.max_candidates, verbose=True,
+                flops_scale=e)
+            print(f"[DGA-TPU] grouped E{e} {m}x{n}x{k} winner: {win}")
+            continue
+        m, n, k = shape
         if args.op == "fp8_gemm":
             # fp8 contract: n, k multiples of 128 — pad the sweep shape.
             n2, k2 = round_up(n, 128), round_up(k, 128)

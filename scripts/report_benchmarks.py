@@ -36,6 +36,8 @@ def main(argv=None) -> int:
              "grouped_gemm": info.peak_bf16_tflops}
 
     best = {}
+    analytic_pick = {}   # idx 0 = the analytic tier's choice (sweep order
+                         # is the analytically-best prefix)
     counts = defaultdict(int)
     for pattern in args.files:
         for path in sorted(glob.glob(pattern)):
@@ -50,6 +52,8 @@ def main(argv=None) -> int:
                         continue
                     key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
                     counts[key] += 1
+                    if r.get("idx") == 0 and r.get("time_s", -1) > 0:
+                        analytic_pick[key] = r
                     if r.get("time_s", -1) > 0 and (
                             key not in best
                             or r["time_s"] < best[key]["time_s"]):
@@ -63,8 +67,9 @@ def main(argv=None) -> int:
         f"Roofline reference: {info.peak_bf16_tflops:.0f} TF/s "
         "(bf16/fp8 MXU peak).",
         "",
-        "| op | M | N | K | best (bm,bn,bk) | time | TF/s | % roofline | configs tried |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| op | M | N | K | best (bm,bn,bk) | time | TF/s | % roofline "
+        "| vs analytic | configs tried |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for key in sorted(best, key=lambda t: (t[0], t[1], t[2], t[3])):
         r = best[key]
@@ -74,10 +79,13 @@ def main(argv=None) -> int:
         pct = 100.0 * tf / peaks.get(op, info.peak_bf16_tflops)
         t_us = r["time_s"] * 1e6
         t_str = f"{t_us/1000:.3f} ms" if t_us >= 1000 else f"{t_us:.1f} us"
+        ana = analytic_pick.get(key)
+        speedup = (f"{ana['time_s'] / r['time_s']:.2f}×" if ana else "—")
         lines.append(
             f"| {op} | {m} | {n} | {k} "
             f"| {c['block_m']}×{c['block_n']}×{c['block_k']} "
-            f"| {t_str} | {tf:.1f} | {pct:.1f}% | {counts[key]} |")
+            f"| {t_str} | {tf:.1f} | {pct:.1f}% | {speedup} "
+            f"| {counts[key]} |")
     text = "\n".join(lines) + "\n"
     if args.out:
         os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
