@@ -1,5 +1,6 @@
 from .attention import AttentionParams, KVCache, attention
-from .config import TINY, V2_LITE, ModelConfig
+from .config import (LLAMA_LIKE, TINY, TINY_DENSE, V2_LITE,
+                     ModelConfig)
 from .layers import BF16Linear, Fp8Linear, rms_norm
 from .loader import (load_params, load_quantized,
                      load_safetensors, save_quantized)
@@ -9,7 +10,7 @@ from .moe import ExpertWeights, MoEParams, dispatch_masked, moe_block, route_top
 
 __all__ = [
     "AttentionParams", "KVCache", "attention",
-    "TINY", "V2_LITE", "ModelConfig",
+    "LLAMA_LIKE", "TINY", "TINY_DENSE", "V2_LITE", "ModelConfig",
     "BF16Linear", "Fp8Linear", "rms_norm",
     "DenseFFN", "LayerParams", "ModelParams", "decode_step", "forward",
     "generate_greedy_scan", "init_cache", "init_params",

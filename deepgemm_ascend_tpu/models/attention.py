@@ -101,6 +101,7 @@ def attention(
     tp_heads: Optional[int] = None,
     head_offset=0,
     axis_name: Optional[str] = None,
+    prefill_start: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Causal GQA over the int8 cache. Works for prefill (s = prompt) and
     decode (s = 1) with the same code path.
@@ -128,6 +129,9 @@ def attention(
 
     use_flash = (s == 1 and tp_heads is None
                  and cfg.use_flash_decode and cache.max_seq % 8 == 0)
+    use_flash_prefill = (s > 1 and tp_heads is None and cfg.use_flash_decode
+                         and prefill_start is not None
+                         and cache.max_seq % 8 == 0)
     if use_flash:
         # Streaming int8-cache kernel — no HBM dequant materialization
         # (ops/flash_decode.py).
@@ -135,6 +139,14 @@ def attention(
         out = flash_decode_gqa(q[:, 0], cache.k_q, cache.k_s, cache.v_q,
                                cache.v_s, seq_lens)
         out = out.reshape(b, 1, heads * hd).astype(jnp.bfloat16)
+    elif use_flash_prefill:
+        # Chunked causal streaming kernel for prompt ingestion — callers
+        # with consecutive positions (row i at prefill_start + i) avoid the
+        # XLA path's (b, s, heads, S) logits materialization.
+        from ..ops.flash_prefill import flash_prefill_gqa
+        out = flash_prefill_gqa(q, cache.k_q, cache.k_s, cache.v_q,
+                                cache.v_s, prefill_start, seq_lens)
+        out = out.reshape(b, s, heads * hd).astype(jnp.bfloat16)
     else:
         # XLA fallback: dequantize-in-contraction, int8 cache → f32 · scale.
         kf = cache.k_q.astype(jnp.float32) * cache.k_s[..., None]

@@ -57,3 +57,19 @@ V2_LITE = ModelConfig(
     num_kv_heads=4, head_dim=128, num_experts=32, num_shared_experts=1,
     top_k=6, moe_intermediate=1408, first_dense_layers=1,
     dense_intermediate=11008, max_seq_len=4096)  # 86*128 (fp8 lane contract)
+
+# Dense (Llama-style) family: every layer uses the dense SwiGLU FFN —
+# first_dense_layers == num_layers short-circuits the MoE machinery, so the
+# same stack serves GQA dense decoders (checkpoint loader included: the HF
+# name map's dense branch is exactly Llama's).
+LLAMA_LIKE = ModelConfig(
+    vocab_size=32768, hidden_size=2048, num_layers=8, num_heads=16,
+    num_kv_heads=4, head_dim=128, num_experts=0, num_shared_experts=0,
+    top_k=0, moe_intermediate=0, first_dense_layers=8,
+    dense_intermediate=5632, max_seq_len=4096)
+
+TINY_DENSE = ModelConfig(
+    vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+    num_kv_heads=2, head_dim=64, num_experts=0, num_shared_experts=0,
+    top_k=0, moe_intermediate=0, first_dense_layers=2,
+    dense_intermediate=512, max_seq_len=256)

@@ -99,15 +99,21 @@ def forward(
     positions: jax.Array,       # (batch, s) int32
     seq_lens: jax.Array,        # (batch,) valid length AFTER this step
     cfg: ModelConfig,
+    prefill_start: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[KVCache]]:
-    """Returns (logits (batch, s, vocab) f32, updated caches)."""
+    """Returns (logits (batch, s, vocab) f32, updated caches).
+
+    ``prefill_start`` (batch,) asserts positions are consecutive from it
+    (row i at prefill_start + i) — enables the flash prefill kernel.
+    """
     b, s = tokens.shape
     x = params.embed[tokens]                     # (b, s, hidden) bf16
     new_caches = []
     for layer, cache in zip(params.layers, caches):
         h = rms_norm(x, layer.attn_norm, cfg.rms_eps)
         attn_out, cache = attention(layer.attn, h, cache, positions,
-                                    seq_lens, cfg)
+                                    seq_lens, cfg,
+                                    prefill_start=prefill_start)
         new_caches.append(cache)
         x = x + attn_out
         h = rms_norm(x, layer.ffn_norm, cfg.rms_eps)

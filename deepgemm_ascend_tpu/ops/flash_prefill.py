@@ -1,0 +1,216 @@
+"""Flash prefill: chunked causal GQA attention over the INT8 KV cache.
+
+Companion to ops/flash_decode.py for s > 1 (prompt ingestion). The XLA
+prefill path materializes a (b, s, heads, S) f32 logits tensor — 128 MB per
+layer at a 512-token bucket against a 4096-slot cache. This kernel streams
+K/V blocks with online softmax per query block instead; K/V stay int8 until
+the MXU (exact bf16 conversion), with per-token scales folded into the
+(rows, block_s) score/probability matrices exactly as in flash decode.
+
+Contract: query positions are CONSECUTIVE — row i of batch b sits at
+absolute position ``start[b] + i`` (true for prompt ingestion; the engine
+and ``forward`` always write prompts contiguously). ``start`` rides as a
+scalar-prefetch argument so causal masking and block skipping stay
+data-dependent without a positions tensor.
+
+Grid (b, kvh, nq, ns), ns innermost ("arbitrary"): each query block keeps
+(m, l, acc) online-softmax state in VMEM scratch, reset at ns step 0.
+Causality prunes future S blocks: their index maps clamp onto the last
+needed block (no dead DMAs) and compute is skipped.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gemm import _interpret_default
+
+__all__ = ["flash_prefill_gqa"]
+
+NEG_INF = -1e30
+
+
+def _kernel(start_ref, len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+            o_ref, m_ref, l_ref, acc_ref, *,
+            block_q: int, block_s: int, ns: int, g: int, scale: float):
+    b = pl.program_id(0)
+    kvi = pl.program_id(1)
+    qi = pl.program_id(2)
+    si = pl.program_id(3)
+    start = start_ref[b]
+    seq_len = len_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # This S block is needed iff it contains keys at or before the last
+    # query position of the block, and within the valid cache length.
+    q_hi = start + qi * block_q + block_q - 1     # last query position
+    needed = (si * block_s <= q_hi) & (si * block_s < seq_len)
+
+    @pl.when(needed)
+    def _compute():
+        rows = g * block_q
+        q = q_ref[0, 0].reshape(rows, q_ref.shape[-1])   # (g·bq, hd) bf16
+        k = kq_ref[0, 0].astype(jnp.bfloat16)            # (bs, hd)
+        v = vq_ref[0, 0].astype(jnp.bfloat16)
+        kvh = ks_ref.shape[1]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1)
+                  == kvi).astype(jnp.float32)
+        k_s = jnp.dot(onehot, ks_ref[0],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # (1, bs)
+        v_s = jnp.dot(onehot, vs_ref[0],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (rows, bs)
+        s = s * (k_s * scale)
+        # Causal + validity mask. Row r = head-group gh·block_q + local qi:
+        # its token position is start + qi·block_q + (r mod block_q).
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = start + qi * block_q + jax.lax.rem(r_iota, block_q)
+        t = si * block_s + c_iota
+        s = jnp.where((t <= pos) & (t < seq_len), s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1,
+                                                        keepdims=True)
+        m_ref[:, 0:1] = m_new
+        pv = jnp.dot((p * v_s).astype(jnp.bfloat16), v,
+                     preferred_element_type=jnp.float32)     # (rows, hd)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(si == ns - 1)
+    def _store():
+        l = l_ref[:, 0:1]
+        safe = jnp.where(l > 0, l, 1.0)
+        out = (acc_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[0, 0] = out.reshape(g, block_q, o_ref.shape[-1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_s", "interpret"))
+def _call(start, seq_lens, q, k_q, k_s, v_q, v_s, *,
+          block_q, block_s, interpret):
+    b, kvh, g, s, hd = q.shape
+    s_max = k_q.shape[2]
+    nq = s // block_q
+    ns = s_max // block_s
+    scale = 1.0 / math.sqrt(hd)
+    kernel = functools.partial(_kernel, block_q=block_q, block_s=block_s,
+                               ns=ns, g=g, scale=scale)
+
+    def kv_map(bi, kvi, qi, si, start, lens):
+        # Clamp unneeded S blocks (future of this q block / past seq_len)
+        # onto the last needed one → their DMAs hit the resident block.
+        q_hi = start[bi] + qi * block_q + block_q - 1
+        last = jnp.minimum(q_hi // block_s,
+                           jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0))
+        last = jnp.maximum(last, 0)
+        return (bi, kvi, jnp.minimum(si, last), 0)
+
+    def kv_map3(bi, kvi, qi, si, start, lens):
+        idx = kv_map(bi, kvi, qi, si, start, lens)
+        return (bi, 0, idx[2])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvh, nq, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, block_q, hd),
+                         lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0)),
+            pl.BlockSpec((1, 1, block_s, hd), kv_map),
+            pl.BlockSpec((1, kvh, block_s), kv_map3),
+            pl.BlockSpec((1, 1, block_s, hd), kv_map),
+            pl.BlockSpec((1, kvh, block_s), kv_map3),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g, block_q, hd),
+            lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, hd), jnp.float32),
+        ],
+    )
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, s, hd), jnp.float32),
+        interpret=interpret,
+        **params,
+    )(start, seq_lens, q, k_q, k_s, v_q, v_s)
+
+
+def flash_prefill_gqa(
+    q: jax.Array,          # (b, s, heads, hd) bf16/f32
+    k_q: jax.Array,        # (b, kvh, S, hd) int8
+    k_s: jax.Array,        # (b, kvh, S) f32
+    v_q: jax.Array,
+    v_s: jax.Array,
+    start: jax.Array,      # (b,) int32 — absolute position of q row 0
+    seq_lens: jax.Array,   # (b,) int32 — valid cache length (incl. prompt)
+    *,
+    block_q: int = 256,
+    block_s: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Causal GQA prefill over the int8 cache. Returns (b, s, heads, hd) f32.
+
+    Query row i of batch b is at absolute position start[b] + i and attends
+    cache positions t with ``t <= start[b] + i`` and ``t < seq_lens[b]``.
+    """
+    b, s, heads, hd = q.shape
+    _, kvh, s_max, _ = k_q.shape
+    if heads % kvh:
+        raise ValueError(f"heads={heads} not a multiple of kv_heads={kvh}")
+    g = heads // kvh
+    if interpret is None:
+        interpret = _interpret_default()
+
+    # Legal q blocks: a multiple of 8 dividing s, or the whole length
+    # (block == array dim is always legal). Engine buckets are powers of 2,
+    # so the fast path is the common one.
+    bq = s
+    if s > block_q:
+        for cand in range((block_q // 8) * 8, 0, -8):
+            if s % cand == 0:
+                bq = cand
+                break
+    bs = s_max
+    if s_max > block_s:
+        for cand in range((block_s // 128) * 128, 0, -128):
+            if s_max % cand == 0:
+                bs = cand
+                break
+    # (g, block_q, hd) collapses to (g·block_q, hd) rows in-kernel; bf16
+    # wants ≥16 sublanes — guaranteed when g·bq ≥ 16, else grow bq.
+    qg = (q.astype(jnp.bfloat16)
+          .reshape(b, s, kvh, g, hd).transpose(0, 2, 3, 1, 4))
+    out = _call(jnp.asarray(start, jnp.int32),
+                jnp.asarray(seq_lens, jnp.int32), qg, k_q,
+                k_s.astype(jnp.float32), v_q, v_s.astype(jnp.float32),
+                block_q=bq, block_s=bs, interpret=interpret)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, s, heads, hd)

@@ -121,7 +121,8 @@ class Engine:
                    for c in caches]
             pos = jnp.arange(bucket, dtype=jnp.int32)[None]
             lens = jnp.asarray([true_len], jnp.int32)
-            logits, sub = forward(params, tokens[None], sub, pos, lens, cfg)
+            logits, sub = forward(params, tokens[None], sub, pos, lens, cfg,
+                                  prefill_start=jnp.zeros((1,), jnp.int32))
             merged = [
                 KVCache(k_q=c.k_q.at[slot].set(s.k_q[0]),
                         k_s=c.k_s.at[slot].set(s.k_s[0]),

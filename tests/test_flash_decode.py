@@ -121,3 +121,69 @@ def test_flash_rejects_bad_heads():
     s = jnp.zeros((1, 2, 32))
     with pytest.raises(ValueError):
         flash_decode_gqa(q, k, s, k, s, jnp.zeros((1,), jnp.int32))
+
+
+# ---- flash prefill (ops/flash_prefill.py) ----
+
+def _prefill_reference(q, k_q, k_s, v_q, v_s, start, seq_lens):
+    b, s, h, hd = q.shape
+    kvh = k_q.shape[1]
+    g = h // kvh
+    kf = np.asarray(k_q, np.float64) * np.asarray(k_s)[..., None]
+    vf = np.asarray(v_q, np.float64) * np.asarray(v_s)[..., None]
+    out = np.zeros((b, s, h, hd))
+    for bi in range(b):
+        for qi in range(s):
+            pos = start[bi] + qi
+            ln = min(pos + 1, int(seq_lens[bi]))
+            if ln <= 0:
+                continue
+            for hi in range(h):
+                kv = hi // g
+                sc = (np.asarray(q[bi, qi, hi], np.float64)
+                      @ kf[bi, kv, :ln].T) / np.sqrt(hd)
+                p = np.exp(sc - sc.max())
+                p /= p.sum()
+                out[bi, qi, hi] = p @ vf[bi, kv, :ln]
+    return out
+
+
+@pytest.mark.parametrize("b,heads,kvh,s,s_max,hd,starts,lens", [
+    (2, 4, 2, 16, 64, 64, [0, 8], [16, 24]),     # fresh + continued prompt
+    (1, 8, 2, 32, 128, 128, [0], [32]),
+    (1, 4, 4, 5, 64, 64, [3], [8]),               # ragged s (whole-q block)
+])
+def test_flash_prefill_matches_reference(b, heads, kvh, s, s_max, hd,
+                                         starts, lens):
+    from deepgemm_ascend_tpu.ops.flash_prefill import flash_prefill_gqa
+    rng = np.random.default_rng(0)
+    k_q, k_s, v_q, v_s = _mk_cache(rng, b, kvh, s_max, hd)
+    q = jnp.asarray(rng.normal(size=(b, s, heads, hd)), jnp.float32)
+    got = np.asarray(flash_prefill_gqa(
+        q, k_q, k_s, v_q, v_s, jnp.asarray(starts, jnp.int32),
+        jnp.asarray(lens, jnp.int32), block_q=8, block_s=128,
+        interpret=True))
+    want = _prefill_reference(q, k_q, k_s, v_q, v_s, starts, lens)
+    res = verify.verify(got.astype(np.float32), want.astype(np.float32),
+                        rtol=2e-2, atol=2e-2, max_ratio=1e-3)
+    assert res.ok, res
+
+
+def test_model_prefill_flash_vs_xla():
+    """forward() with prefill_start (flash prefill) must match the XLA
+    prefill path at the first layer's tolerance scale."""
+    from deepgemm_ascend_tpu.models import forward, init_params
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    b, s = 2, 8
+    toks = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
+                              cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    lens = jnp.full((b,), s, jnp.int32)
+    lf, _ = forward(params, toks, init_cache(cfg, b, 32), pos, lens, cfg,
+                    prefill_start=jnp.zeros((b,), jnp.int32))
+    lx, _ = forward(params, toks, init_cache(cfg, b, 32), pos, lens, cfg)
+    # bf16 kernel dots vs f32 einsums, MoE routing amplification — same
+    # tolerance rationale as the decode twin above.
+    assert np.all(np.isfinite(np.asarray(lf)))
+    assert verify.relative_l2_error(np.asarray(lf), np.asarray(lx)) < 0.15

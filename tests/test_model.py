@@ -134,3 +134,19 @@ def test_kv_cache_update_roundtrip():
     rel = verify.relative_l2_error(kf[:, :, :3], want)
     assert rel < 0.02, rel
     assert np.all(np.asarray(c2.k_q)[:, :, 3:] == 0)
+
+
+def test_dense_family_decodes_and_generates():
+    """Llama-style dense family: first_dense_layers == num_layers — no MoE
+    machinery anywhere in the traced program."""
+    from deepgemm_ascend_tpu.models import TINY_DENSE, init_params
+    from deepgemm_ascend_tpu.models.model import DenseFFN
+    cfg = TINY_DENSE
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert all(isinstance(l.ffn, DenseFFN) for l in params.layers)
+    caches = init_cache(cfg, 2, max_seq=16)
+    lens = jnp.zeros((2,), jnp.int32)
+    logits, caches = decode_step(params, jnp.asarray([1, 2]), caches, lens,
+                                 cfg)
+    assert logits.shape == (2, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits).all())
