@@ -129,7 +129,8 @@ def attention(
 
     use_flash = (s == 1 and tp_heads is None
                  and cfg.use_flash_decode and cache.max_seq % 8 == 0)
-    use_flash_prefill = (s > 1 and tp_heads is None and cfg.use_flash_decode
+    use_flash_prefill = (s > 1 and s % 16 == 0 and tp_heads is None
+                         and cfg.use_flash_decode
                          and prefill_start is not None
                          and cache.max_seq % 8 == 0)
     if use_flash:

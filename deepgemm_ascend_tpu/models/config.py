@@ -31,8 +31,12 @@ class ModelConfig:
     # quantization
     fp8_weights: bool = True
     int8_kv: bool = True
-    # decode attention: Pallas streaming int8-cache kernel (flash_decode)
-    # vs the XLA dequantize-in-contraction fallback
+    # Attention kernels: Pallas streaming int8-cache kernels — flash_decode
+    # (s == 1) AND flash_prefill (s > 1, consecutive positions) — vs the
+    # XLA dequantize-in-contraction fallback. One switch on purpose: both
+    # kernels share the same numerics (bf16 dots, scales folded into the
+    # score/probability matrices), so either you serve with kernel numerics
+    # or with XLA f32 numerics, never a mix per phase.
     use_flash_decode: bool = True
 
     @property

@@ -38,11 +38,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .flash_common import NEG_INF, finalize, online_softmax_update, select_scale_row
 from .gemm import _interpret_default
 
 __all__ = ["flash_decode_gqa"]
-
-NEG_INF = -1e30
 
 
 def _kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
@@ -63,18 +62,8 @@ def _kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
         q = q_ref[0, 0]                       # (g_pad, hd) bf16
         k = kq_ref[0, 0].astype(jnp.bfloat16)  # (bs, hd) int8 → exact bf16
         v = vq_ref[0, 0].astype(jnp.bfloat16)
-        # Scale blocks carry all kv heads ((1, kvh, bs) — a (1, 1, bs)
-        # block has an illegal sublane-1 tile); select this head's row via
-        # a one-hot mini-dot (kvh·bs MACs, negligible).
-        kvh = ks_ref.shape[1]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1)
-                  == kvi).astype(jnp.float32)
-        k_s = jnp.dot(onehot, ks_ref[0],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)   # (1, bs)
-        v_s = jnp.dot(onehot, vs_ref[0],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        k_s = select_scale_row(ks_ref, kvi)   # (1, bs)
+        v_s = select_scale_row(vs_ref, kvi)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -82,23 +71,11 @@ def _kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
         s = s * (k_s * scale)                 # fold K scale + 1/√hd, free
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col + si * block_s < seq_len, s, NEG_INF)
-
-        m_prev = m_ref[:, 0:1]                           # (g_pad, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                           # (g_pad, bs)
-        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1,
-                                                        keepdims=True)
-        m_ref[:, 0:1] = m_new
-        pv = jnp.dot((p * v_s).astype(jnp.bfloat16), v,
-                     preferred_element_type=jnp.float32)  # (g_pad, hd)
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        online_softmax_update(s, v, v_s, m_ref, l_ref, acc_ref)
 
     @pl.when(si == ns - 1)
     def _store():
-        l = l_ref[:, 0:1]
-        safe = jnp.where(l > 0, l, 1.0)       # empty slot → zeros, not NaN
-        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[0, 0] = finalize(l_ref, acc_ref, o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))

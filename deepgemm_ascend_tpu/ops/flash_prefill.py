@@ -30,11 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .flash_common import NEG_INF, finalize, online_softmax_update, select_scale_row
 from .gemm import _interpret_default
 
 __all__ = ["flash_prefill_gqa"]
-
-NEG_INF = -1e30
 
 
 def _kernel(start_ref, len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
@@ -64,15 +63,8 @@ def _kernel(start_ref, len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         q = q_ref[0, 0].reshape(rows, q_ref.shape[-1])   # (g·bq, hd) bf16
         k = kq_ref[0, 0].astype(jnp.bfloat16)            # (bs, hd)
         v = vq_ref[0, 0].astype(jnp.bfloat16)
-        kvh = ks_ref.shape[1]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1)
-                  == kvi).astype(jnp.float32)
-        k_s = jnp.dot(onehot, ks_ref[0],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)   # (1, bs)
-        v_s = jnp.dot(onehot, vs_ref[0],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        k_s = select_scale_row(ks_ref, kvi)              # (1, bs)
+        v_s = select_scale_row(vs_ref, kvi)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -85,23 +77,11 @@ def _kernel(start_ref, len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         pos = start + qi * block_q + jax.lax.rem(r_iota, block_q)
         t = si * block_s + c_iota
         s = jnp.where((t <= pos) & (t < seq_len), s, NEG_INF)
-
-        m_prev = m_ref[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1,
-                                                        keepdims=True)
-        m_ref[:, 0:1] = m_new
-        pv = jnp.dot((p * v_s).astype(jnp.bfloat16), v,
-                     preferred_element_type=jnp.float32)     # (rows, hd)
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        online_softmax_update(s, v, v_s, m_ref, l_ref, acc_ref)
 
     @pl.when(si == ns - 1)
     def _store():
-        l = l_ref[:, 0:1]
-        safe = jnp.where(l > 0, l, 1.0)
-        out = (acc_ref[:] / safe).astype(o_ref.dtype)
+        out = finalize(l_ref, acc_ref, o_ref.dtype)
         o_ref[0, 0] = out.reshape(g, block_q, o_ref.shape[-1])
 
 
@@ -190,15 +170,20 @@ def flash_prefill_gqa(
     if interpret is None:
         interpret = _interpret_default()
 
-    # Legal q blocks: a multiple of 8 dividing s, or the whole length
-    # (block == array dim is always legal). Engine buckets are powers of 2,
-    # so the fast path is the common one.
-    bq = s
-    if s > block_q:
-        for cand in range((block_q // 8) * 8, 0, -8):
-            if s % cand == 0:
-                bq = cand
-                break
+    # Legal q blocks: a multiple of 16 dividing s (the in-kernel
+    # (g, bq, hd) → (g·bq, hd) collapse must land on bf16 sublane-tile
+    # boundaries — bq % 16 keeps every group's rows tile-aligned and
+    # guarantees ≥ 16 rows). No such block → the caller must use the XLA
+    # path (attention() gates on s % 16 == 0 and never hits this).
+    bq = 0
+    for cand in range(min((block_q // 16) * 16, (s // 16) * 16), 0, -16):
+        if s % cand == 0:
+            bq = cand
+            break
+    if bq == 0:
+        raise ValueError(
+            f"flash_prefill_gqa needs a q-block that is a multiple of 16 "
+            f"dividing s={s}; use the XLA attention path for ragged prompts")
     bs = s_max
     if s_max > block_s:
         for cand in range((block_s // 128) * 128, 0, -128):

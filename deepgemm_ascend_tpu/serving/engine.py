@@ -28,7 +28,8 @@ from ..utils.common import ceil_div
 from .scheduler import Scheduler
 
 
-def _bucket(n: int, lo: int = 8) -> int:
+def _bucket(n: int, lo: int = 16) -> int:
+    # lo = 16: flash prefill needs s % 16 == 0 (attention.py gate)
     b = lo
     while b < n:
         b *= 2

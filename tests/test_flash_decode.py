@@ -151,7 +151,7 @@ def _prefill_reference(q, k_q, k_s, v_q, v_s, start, seq_lens):
 @pytest.mark.parametrize("b,heads,kvh,s,s_max,hd,starts,lens", [
     (2, 4, 2, 16, 64, 64, [0, 8], [16, 24]),     # fresh + continued prompt
     (1, 8, 2, 32, 128, 128, [0], [32]),
-    (1, 4, 4, 5, 64, 64, [3], [8]),               # ragged s (whole-q block)
+    (1, 4, 4, 16, 64, 64, [3], [19]),             # offset continuation
 ])
 def test_flash_prefill_matches_reference(b, heads, kvh, s, s_max, hd,
                                          starts, lens):
@@ -161,12 +161,22 @@ def test_flash_prefill_matches_reference(b, heads, kvh, s, s_max, hd,
     q = jnp.asarray(rng.normal(size=(b, s, heads, hd)), jnp.float32)
     got = np.asarray(flash_prefill_gqa(
         q, k_q, k_s, v_q, v_s, jnp.asarray(starts, jnp.int32),
-        jnp.asarray(lens, jnp.int32), block_q=8, block_s=128,
+        jnp.asarray(lens, jnp.int32), block_q=16, block_s=128,
         interpret=True))
     want = _prefill_reference(q, k_q, k_s, v_q, v_s, starts, lens)
     res = verify.verify(got.astype(np.float32), want.astype(np.float32),
                         rtol=2e-2, atol=2e-2, max_ratio=1e-3)
     assert res.ok, res
+
+
+def test_flash_prefill_ragged_s_raises():
+    from deepgemm_ascend_tpu.ops.flash_prefill import flash_prefill_gqa
+    q = jnp.zeros((1, 5, 4, 64))
+    k = jnp.zeros((1, 2, 64, 64), jnp.int8)
+    sc = jnp.zeros((1, 2, 64))
+    with pytest.raises(ValueError):
+        flash_prefill_gqa(q, k, sc, k, sc, jnp.zeros((1,), jnp.int32),
+                          jnp.asarray([5], jnp.int32), interpret=True)
 
 
 def test_model_prefill_flash_vs_xla():
@@ -175,7 +185,7 @@ def test_model_prefill_flash_vs_xla():
     from deepgemm_ascend_tpu.models import forward, init_params
     cfg = TINY
     params = init_params(jax.random.PRNGKey(0), cfg)
-    b, s = 2, 8
+    b, s = 2, 16
     toks = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
                               cfg.vocab_size)
     pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
