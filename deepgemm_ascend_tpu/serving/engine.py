@@ -76,8 +76,14 @@ class Engine:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        decode_chunk: int = 1,
         seed: int = 0,
     ):
+        """``decode_chunk``: decode N tokens per engine iteration in ONE
+        device dispatch (lax.scan with in-graph sampling). Amortizes the
+        per-step host/dispatch latency N× at the cost of admission
+        granularity (new requests wait ≤ N steps) and up to N−1 wasted
+        steps per request after its EOS (the scheduler discards them)."""
         self.cfg = cfg
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or cfg.max_seq_len
@@ -85,6 +91,7 @@ class Engine:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        self.decode_chunk = max(int(decode_chunk), 1)
         self._key = jax.random.PRNGKey(seed)
         self._mesh = mesh
 
@@ -105,6 +112,31 @@ class Engine:
         self._prefill_cache: dict = {}
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
                       "decode_time_s": 0.0}
+
+        self._chunk_fn = None
+        if mesh is None and self.decode_chunk > 1:
+            chunk, temp = self.decode_chunk, temperature
+            tk, tp = top_k, top_p
+
+            @jax.jit
+            def chunk_fn(params, toks, caches, lens, mask, key):
+                def body(carry, _):
+                    toks, caches, lens, key = carry
+                    logits, caches = decode_step(params, toks, caches, lens,
+                                                 cfg)
+                    key, sub = jax.random.split(key)
+                    nxt = sample_logits(logits, sub, temperature=temp,
+                                        top_k=tk, top_p=tp)
+                    # Inactive slots neither advance nor change token.
+                    nxt = jnp.where(mask, nxt, toks)
+                    lens = jnp.where(mask, lens + 1, lens)
+                    return (nxt, caches, lens, key), nxt
+
+                (toks, caches, lens, _), out = jax.lax.scan(
+                    body, (toks, caches, lens, key), None, length=chunk)
+                return toks, caches, lens, out   # out: (chunk, slots)
+
+            self._chunk_fn = chunk_fn
 
     # -- prefill -------------------------------------------------------------
     def _prefill_fn(self, bucket: int):
@@ -192,26 +224,46 @@ class Engine:
 
         active = sched.active_slots()
         if active:
-            t0 = time.perf_counter()
-            logits, self.caches = self._decode(
-                self.params, self.last_tokens, self.caches, self.seq_lens)
-            nxt = self._sample(logits)
-            # only active slots advance
+            chunk = self.decode_chunk if self._chunk_fn is not None else 1
+            if chunk > 1:
+                lens_np = np.asarray(self.seq_lens)
+                if int(lens_np[active].max()) + chunk > self.max_seq_len:
+                    chunk = 1   # tail of a long sequence: single-step
             mask = np.zeros((self.max_slots,), bool)
             mask[active] = True
             jmask = jnp.asarray(mask)
-            self.seq_lens = jnp.where(jmask, self.seq_lens + 1, self.seq_lens)
-            self.last_tokens = jnp.where(jmask, nxt, self.last_tokens)
-            nxt_np = np.asarray(nxt)
+            t0 = time.perf_counter()
+            if chunk > 1:
+                self._key, sub = jax.random.split(self._key)
+                (self.last_tokens, self.caches, self.seq_lens,
+                 out) = self._chunk_fn(self.params, self.last_tokens,
+                                       self.caches, self.seq_lens, jmask,
+                                       sub)
+                out_np = np.asarray(out)              # (chunk, slots)
+            else:
+                logits, self.caches = self._decode(
+                    self.params, self.last_tokens, self.caches,
+                    self.seq_lens)
+                nxt = self._sample(logits)
+                self.seq_lens = jnp.where(jmask, self.seq_lens + 1,
+                                          self.seq_lens)
+                self.last_tokens = jnp.where(jmask, nxt, self.last_tokens)
+                out_np = np.asarray(nxt)[None]        # (1, slots)
             self.stats["decode_time_s"] += time.perf_counter() - t0
-            self.stats["decode_steps"] += 1
-            slot_tokens = {}
-            for slot in active:
-                req = sched.running[slot]
-                slot_tokens[slot] = int(nxt_np[slot])
-                emitted.setdefault(req.req_id, []).append(int(nxt_np[slot]))
-            self.stats["tokens_out"] += len(slot_tokens)
-            sched.record_tokens(slot_tokens)
+            self.stats["decode_steps"] += chunk
+            for t in range(out_np.shape[0]):
+                slot_tokens = {}
+                for slot in active:
+                    req = sched.running.get(slot)
+                    if req is None:       # finished earlier in this chunk
+                        continue
+                    tok = int(out_np[t, slot])
+                    slot_tokens[slot] = tok
+                    emitted.setdefault(req.req_id, []).append(tok)
+                if not slot_tokens:
+                    break
+                self.stats["tokens_out"] += len(slot_tokens)
+                sched.record_tokens(slot_tokens)
         return emitted
 
     def generate(

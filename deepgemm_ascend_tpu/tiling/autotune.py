@@ -77,12 +77,19 @@ class Autotuner:
         cache: Optional[TilingCache] = None,
         rank: int = 0,
         world: int = 1,
+        retry_failed: bool = False,
     ):
         """``time_fn(config) -> seconds`` (may raise → poisoned config).
 
         ``rank``/``world`` shard the candidate list across independent
         processes — ≙ the reference's rank-sliced sweeps
         (`benchmark.py:249-253`, `bench_sub.py:57,90`).
+
+        ``retry_failed``: re-run previously-poisoned records instead of
+        replaying them. Poisoning exists to skip the one config that
+        crashed a process (≙ `benchmark.py:256-298`); after a *systematic*
+        failure (driver bug, missing import) every record is poisoned and
+        plain resume would make the whole sweep permanently empty.
         """
         del run_fn  # timing callback owns execution; kept for API clarity
         self._time = time_fn
@@ -91,6 +98,7 @@ class Autotuner:
         self._ckpt_path = checkpoint_path
         self._cache = cache if cache is not None else global_cache()
         self._rank, self._world = rank, world
+        self._retry_failed = retry_failed
 
     # -- persistence ------------------------------------------------------
     def _load_done(self) -> dict[int, SweepResult]:
@@ -180,9 +188,10 @@ class Autotuner:
         flops = 2 * m * n * k * flops_scale
 
         for idx, cfg in enumerate(candidates):
-            if idx in done:
+            if idx in done and (done[idx].time_s > 0
+                                or not self._retry_failed):
                 r = done[idx]
-            elif idx == poisoned:
+            elif idx == poisoned and not self._retry_failed:
                 r = SweepResult(m, n, k, self._op, cfg.to_dict(),
                                 time_s=-1.0, tflops=0.0, correct=False,
                                 idx=idx)

@@ -37,6 +37,9 @@ def main(argv=None) -> int:
                     help="grow iters until the timed chain is at least this "
                          "many seconds (guards µs-kernels against RPC-floor "
                          "jitter)")
+    ap.add_argument("--retry-poisoned", action="store_true",
+                    help="re-run records previously marked failed (after a "
+                         "systematic crash, plain resume replays them)")
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world", type=int, default=1)
     ap.add_argument("--shapes", nargs="*", type=int, default=None,
@@ -106,7 +109,8 @@ def main(argv=None) -> int:
                 None, time_fn, op=args.op,
                 results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
                 checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
-                cache=cache, rank=args.rank, world=args.world)
+                cache=cache, rank=args.rank, world=args.world,
+                retry_failed=args.retry_poisoned)
             win = tuner.sweep_shape(
                 m, n, k, in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
                 max_candidates=args.max_candidates, verbose=True,
@@ -152,7 +156,8 @@ def main(argv=None) -> int:
             None, time_fn, op=args.op,
             results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
             checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
-            cache=cache, rank=args.rank, world=args.world)
+            cache=cache, rank=args.rank, world=args.world,
+                retry_failed=args.retry_poisoned)
         win = tuner.sweep_shape(
             m2, n2, k2, in_dtype=in_dtype,
             out_dtype=jnp.bfloat16 if args.op == "fp8_gemm" else jnp.float32,

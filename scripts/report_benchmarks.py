@@ -50,6 +50,8 @@ def main(argv=None) -> int:
                         r = json.loads(line)
                     except json.JSONDecodeError:
                         continue
+                    if "m" not in r or "config" not in r:
+                        continue  # tiling-cache lines share the dir
                     key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
                     counts[key] += 1
                     if r.get("idx") == 0 and r.get("time_s", -1) > 0:

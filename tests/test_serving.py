@@ -127,3 +127,15 @@ def test_sample_logits_modes():
     # top-p keeps sampling valid (finite token ids)
     s = sample_logits(logits, key, temperature=1.0, top_p=0.9)
     assert s.shape == (2,) and bool((s >= 0).all())
+
+
+def test_engine_chunked_decode_matches_single_step(model):
+    """decode_chunk > 1 must produce token-identical greedy outputs (one
+    dispatch per N steps instead of per step)."""
+    cfg, params = model
+    prompts = [[1, 2, 3], [4, 5]]
+    out1 = Engine(params, cfg, max_slots=2, max_seq_len=64).generate(
+        prompts, max_new_tokens=9)
+    out4 = Engine(params, cfg, max_slots=2, max_seq_len=64,
+                  decode_chunk=4).generate(prompts, max_new_tokens=9)
+    assert out1 == out4

@@ -224,3 +224,33 @@ def test_autotune_max_candidates_prunes(tmp_path):
     tuner, calls = _mk_tuner(tmp_path, {})
     tuner.sweep_shape(512, 512, 512, None, max_candidates=3)
     assert len(calls) == 3
+
+
+def test_autotuner_retry_failed_reruns_poisoned(tmp_path):
+    """retry_failed=True must re-time records a previous (systematically
+    crashed) run marked poisoned, instead of replaying them forever."""
+    results = str(tmp_path / "res.jsonl")
+    calls = {"n": 0}
+
+    def failing(cfg):
+        calls["n"] += 1
+        raise RuntimeError("driver bug")
+
+    cand = [GemmConfig(128, 128, 128), GemmConfig(128, 128, 256)]
+    t1 = autotune.Autotuner(None, failing, op="gemm", results_path=results,
+                            cache=cache.TilingCache(None))
+    assert t1.sweep_shape(256, 256, 256, candidates=cand) is None
+    assert calls["n"] == 2
+
+    def working(cfg):
+        return 1e-3 if cfg.block_k == 128 else 2e-3
+
+    # Plain resume: replays the poisoned records, still no winner.
+    t2 = autotune.Autotuner(None, working, op="gemm", results_path=results,
+                            cache=cache.TilingCache(None))
+    assert t2.sweep_shape(256, 256, 256, candidates=cand) is None
+    # retry_failed: re-times them and finds the winner.
+    t3 = autotune.Autotuner(None, working, op="gemm", results_path=results,
+                            cache=cache.TilingCache(None), retry_failed=True)
+    win = t3.sweep_shape(256, 256, 256, candidates=cand)
+    assert win is not None and win.block_k == 128
