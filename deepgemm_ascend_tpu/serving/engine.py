@@ -110,6 +110,7 @@ class Engine:
         self.seq_lens = jnp.zeros((max_slots,), jnp.int32)
         self.last_tokens = jnp.zeros((max_slots,), jnp.int32)
         self._prefill_cache: dict = {}
+        self._mesh_prefill_cache: dict = {}
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
                       "decode_time_s": 0.0}
 
@@ -169,17 +170,53 @@ class Engine:
         self._prefill_cache[bucket] = prefill
         return prefill
 
+    def _mesh_prefill_fn(self, bucket: int):
+        """Jitted per-bucket: scan the padded prompt through the sharded
+        decode step in ONE dispatch (the token-by-token host loop costs one
+        dispatch round-trip per prompt token). Steps at/after ``true_len``
+        keep rewriting the same cache row (lens frozen), which the first
+        real decode overwrites — identical semantics, bucket-static shape."""
+        if bucket in self._mesh_prefill_cache:
+            return self._mesh_prefill_cache[bucket]
+        decode = self._decode
+
+        @jax.jit
+        def run(params, caches, last_tokens, seq_lens, prompt, slot,
+                true_len):
+            slot_hot = jnp.arange(seq_lens.shape[0]) == slot
+
+            def body(carry, xs):
+                toks, caches, lens, kept = carry
+                tok_t, t = xs
+                toks = jnp.where(slot_hot, tok_t, toks)
+                logits, caches = decode(params, toks, caches, lens)
+                active = t < true_len
+                lens = jnp.where(slot_hot & active, lens + 1, lens)
+                kept = jnp.where(t == true_len - 1, logits[slot], kept)
+                return (toks, caches, lens, kept), None
+
+            kept0 = jnp.zeros((params.lm_head.shape[1],), jnp.float32)
+            (toks, caches, lens, kept), _ = jax.lax.scan(
+                body, (last_tokens, caches, seq_lens, kept0),
+                (prompt, jnp.arange(bucket, dtype=jnp.int32)))
+            return caches, lens, kept
+
+        self._mesh_prefill_cache[bucket] = run
+        return run
+
     def _prefill_via_decode(self, adm) -> int:
         """Prompt ingestion through the sharded decode step (mesh mode)."""
         slot = adm.slot
         self.seq_lens = self.seq_lens.at[slot].set(0)
-        logits = None
-        for tok in adm.prompt:
-            self.last_tokens = self.last_tokens.at[slot].set(int(tok))
-            logits, self.caches = self._decode(
-                self.params, self.last_tokens, self.caches, self.seq_lens)
-            self.seq_lens = self.seq_lens.at[slot].add(1)
-        first = int(self._sample(logits[slot]))
+        bucket = _bucket(len(adm.prompt))
+        prompt = np.zeros((bucket,), np.int32)
+        prompt[:len(adm.prompt)] = adm.prompt
+        run = self._mesh_prefill_fn(bucket)
+        self.caches, self.seq_lens, last_logits = run(
+            self.params, self.caches, self.last_tokens, self.seq_lens,
+            jnp.asarray(prompt), jnp.int32(slot),
+            jnp.int32(len(adm.prompt)))
+        first = int(self._sample(last_logits))
         self.last_tokens = self.last_tokens.at[slot].set(first)
         return first
 

@@ -139,3 +139,19 @@ def test_engine_chunked_decode_matches_single_step(model):
     out4 = Engine(params, cfg, max_slots=2, max_seq_len=64,
                   decode_chunk=4).generate(prompts, max_new_tokens=9)
     assert out1 == out4
+
+
+def test_engine_mesh_mode_generates(model):
+    """Mesh-mode engine (dp/ep virtual mesh): scan-prefill + sharded decode
+    end-to-end; greedy outputs must match the single-device engine."""
+    from deepgemm_ascend_tpu.parallel import make_mesh
+    cfg, params = model
+    mesh = make_mesh(dp=2, ep=4, tp=1)
+    ref = Engine(params, cfg, max_slots=2, max_seq_len=64).generate(
+        [[1, 2, 3], [4, 5]], max_new_tokens=6)
+    eng = Engine(params, cfg, max_slots=2, max_seq_len=64, mesh=mesh)
+    got = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=6)
+    assert [len(g) for g in got] == [len(r) for r in ref]
+    # dp/ep sharding and the scan prefill are numerically identical paths
+    # (flash attention both sides, per-token quantization) → same tokens.
+    assert got == ref
