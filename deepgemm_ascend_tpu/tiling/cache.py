@@ -35,10 +35,28 @@ def cache_key(op: str, m: int, n: int, k: int, in_dtype: str, out_dtype: str,
     return f"{op}:m{m}n{n}k{k}:{in_dtype}->{out_dtype}:{extra}"
 
 
-class TilingCache:
-    """Thread-safe in-memory map with optional JSONL file backing."""
+def packaged_tilings_path() -> Optional[str]:
+    """Packaged autotuned tilings for the detected device kind (shipped
+    from on-chip sweeps, ``scripts/publish_tilings.py``), or None."""
+    from . import platform as plat
+    kind = plat.detect().device_kind.replace(" ", "_")
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        f"tilings_{kind}.jsonl")
+    path = os.path.abspath(path)
+    return path if os.path.exists(path) else None
 
-    def __init__(self, path: Optional[str] = None):
+
+class TilingCache:
+    """Thread-safe in-memory map with optional JSONL file backing.
+
+    ``preload_packaged``: overlay the shipped per-device autotuned table
+    (read-only — new entries append to ``path``/env only). Enabled for the
+    process-wide singleton so serving picks up swept configs out of the
+    box; explicit instances stay empty for test isolation.
+    """
+
+    def __init__(self, path: Optional[str] = None,
+                 preload_packaged: bool = False):
         self._lock = threading.Lock()
         self._map: dict[str, GemmConfig] = {}
         if path is None:
@@ -47,12 +65,16 @@ class TilingCache:
                 if path:
                     break
         self._path = path
+        if preload_packaged:
+            packaged = packaged_tilings_path()
+            if packaged:
+                self._load(packaged)
         if self._path and os.path.exists(self._path):
-            self._load()
+            self._load(self._path)
 
     # -- persistence ------------------------------------------------------
-    def _load(self) -> None:
-        with open(self._path) as f:
+    def _load(self, path: Optional[str] = None) -> None:
+        with open(path or self._path) as f:
             for line in f:
                 line = line.strip()
                 if not line:
@@ -104,7 +126,7 @@ def global_cache() -> TilingCache:
     global _global_cache
     with _global_lock:
         if _global_cache is None:
-            _global_cache = TilingCache()
+            _global_cache = TilingCache(preload_packaged=True)
         return _global_cache
 
 

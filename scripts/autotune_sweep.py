@@ -24,7 +24,7 @@ def main(argv=None) -> int:
     ap.add_argument("--suite", default="reference",
                     choices=["reference", "dynamic", "headline", "grouped"])
     ap.add_argument("--op", default="fp8_gemm",
-                    choices=["gemm", "fp8_gemm", "grouped_masked"])
+                    choices=["gemm", "fp8_gemm", "grouped_gemm_masked"])
     ap.add_argument("--out-dir", default="autotune_results")
     ap.add_argument("--cache", default=None,
                     help="persistent tiling cache path (default: "
@@ -76,7 +76,7 @@ def main(argv=None) -> int:
                                                    "tilings.jsonl"))
 
     for shape in suite:
-        if args.op == "grouped_masked":
+        if args.op == "grouped_gemm_masked":
             # (E, M_max, N, K) — BASELINE configs 3-4 (MoE prefill/decode).
             from deepgemm_ascend_tpu.ops import grouped_gemm as gg
             e, m, n, k = shape

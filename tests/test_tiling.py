@@ -254,3 +254,18 @@ def test_autotuner_retry_failed_reruns_poisoned(tmp_path):
                             cache=cache.TilingCache(None), retry_failed=True)
     win = t3.sweep_shape(256, 256, 256, candidates=cand)
     assert win is not None and win.block_k == 128
+
+
+def test_packaged_tilings_preload(monkeypatch):
+    """The global-cache overlay ships swept per-device configs; explicit
+    TilingCache instances stay empty (test isolation)."""
+    monkeypatch.setattr(platform, "detect",
+                        lambda: platform._KNOWN["v5e"])
+    packaged = cache.packaged_tilings_path()
+    assert packaged and packaged.endswith("tilings_tpu_v5e.jsonl")
+    c = cache.TilingCache(preload_packaged=True)
+    assert len(c) > 0
+    hit = c.get(cache.cache_key("fp8_gemm", 4096, 4096, 4096,
+                                "float8_e4m3fn", "bfloat16", "g128"))
+    assert hit is not None and hit.block_k == 4096  # the swept winner
+    assert len(cache.TilingCache()) == 0  # no silent preload
