@@ -25,6 +25,7 @@ from ..models.attention import KVCache
 from ..models.config import ModelConfig
 from ..models.model import ModelParams, decode_step, forward, init_cache
 from ..utils.common import ceil_div
+from ..utils.logging import get_logger, metrics
 from .scheduler import Scheduler
 
 
@@ -254,6 +255,9 @@ class Engine:
             self.last_tokens = self.last_tokens.at[adm.slot].set(first_tok)
             self.stats["prefills"] += 1
             self.stats["tokens_out"] += 1
+            metrics.inc("engine.prefills")
+            get_logger().info("admitted req %d → slot %d (prompt %d)",
+                              adm.req_id, adm.slot, len(adm.prompt))
             prefill_tokens[adm.slot] = first_tok
             emitted.setdefault(adm.req_id, []).append(first_tok)
         if prefill_tokens:
@@ -300,7 +304,10 @@ class Engine:
                 if not slot_tokens:
                     break
                 self.stats["tokens_out"] += len(slot_tokens)
-                sched.record_tokens(slot_tokens)
+                metrics.inc("engine.tokens_out", len(slot_tokens))
+                for rid in sched.record_tokens(slot_tokens):
+                    get_logger().info("req %d finished", rid)
+            metrics.gauge("engine.active_slots", len(sched.running))
         return emitted
 
     def generate(

@@ -56,16 +56,23 @@ def select_config(
     key = cache_key(op, m, n, k, in_dt.name, out_dt.name, f"g{k_granularity}")
     cache = cache if cache is not None else global_cache()
 
+    from ..utils.logging import metrics
+
     hit = cache.get(key)
     if hit is not None:
+        metrics.inc("tiling.cache_hit")
         return hit
+    metrics.inc("tiling.cache_miss")
 
     if _predictor is not None:
         cfg = _predictor.predict(m, n, k, in_dt, out_dt, op=op)
         if cfg is not None:
+            metrics.inc("tiling.predictor_pick")
             cache.set(key, cfg, persist=False)
             return cfg
+        metrics.inc("tiling.predictor_decline")
 
+    metrics.inc("tiling.analytic_pick")
     cfg = analytic.get_best_config(
         m, n, k,
         a_itemsize=in_dt.itemsize, b_itemsize=in_dt.itemsize,

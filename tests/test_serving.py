@@ -155,3 +155,16 @@ def test_engine_mesh_mode_generates(model):
     # dp/ep sharding and the scan prefill are numerically identical paths
     # (flash attention both sides, per-token quantization) → same tokens.
     assert got == ref
+
+
+def test_metrics_counters_move(model):
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = model
+    metrics.reset()
+    Engine(params, cfg, max_slots=1, max_seq_len=64).generate(
+        [[1, 2]], max_new_tokens=3)
+    snap = metrics.snapshot()
+    assert snap.get("engine.prefills", 0) >= 1
+    assert snap.get("engine.tokens_out", 0) >= 2
+    assert snap.get("tiling.cache_miss", 0) + snap.get(
+        "tiling.cache_hit", 0) > 0
