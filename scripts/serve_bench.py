@@ -81,7 +81,8 @@ def _engine_mode(args):
     cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
     params = init_params(jax.random.PRNGKey(0), cfg)
     eng = Engine(params, cfg, max_slots=args.batch,
-                 max_seq_len=args.steps + 16)
+                 max_seq_len=args.steps + 16,
+                 decode_chunk=args.decode_chunk)
     prompts = [[1, 2, 3]] * args.batch
     eng.generate(prompts, max_new_tokens=8)   # warm compiles
     eng.stats.update(decode_steps=0, tokens_out=0, decode_time_s=0.0)
@@ -89,6 +90,7 @@ def _engine_mode(args):
     print(json.dumps({
         "metric": "moe_decode_tokens_per_s", "mode": "engine",
         "model": args.model, "slots": args.batch,
+        "decode_chunk": args.decode_chunk,
         "tokens_per_s": round(eng.tokens_per_second, 1),
         "decode_steps": eng.stats["decode_steps"],
     }))
@@ -150,6 +152,8 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--decode-chunk", type=int, default=1,
+                    help="engine mode: decode N tokens per dispatch")
     ap.add_argument("--max-seq", type=int, default=0,
                     help="KV cache length (scan mode; 0 = steps+8). Use a "
                          "realistic value (2048/4096) to expose attention "
