@@ -226,11 +226,13 @@ def get_best_config(
     cfg = _native.select_config_native(
         m, n, k, a_itemsize, b_itemsize, out_itemsize, k_granularity,
         info.vmem_bytes, info.peak_flops(
-            {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]),
+            {1: jnp.float8_e4m3fn, 2: jnp.bfloat16,
+             4: jnp.float32}[a_itemsize]),
         info.hbm_gbps, info.num_cores)
     if cfg is not None:
         return _apply_padding_tag(cfg, m, n, k, a_itemsize, b_itemsize, info)
-    in_dtype = {1: jnp.int8, 2: jnp.bfloat16, 4: jnp.float32}[a_itemsize]
+    in_dtype = {1: jnp.float8_e4m3fn, 2: jnp.bfloat16,
+                4: jnp.float32}[a_itemsize]
     best, best_est = None, None
     for bm, bn, bk in enumerate_candidates(
             m, n, k, a_itemsize, b_itemsize, out_itemsize, info, k_granularity):

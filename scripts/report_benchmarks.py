@@ -28,12 +28,15 @@ def main(argv=None) -> int:
                     help="device label (default: detected)")
     args = ap.parse_args(argv)
 
+    from deepgemm_ascend_tpu.bench.roofline import gemm_roofline
     from deepgemm_ascend_tpu.tiling import platform as plat
 
     info = plat.detect()
     device = args.device or info.device_kind
-    peaks = {"gemm": info.peak_bf16_tflops, "fp8_gemm": info.peak_bf16_tflops,
-             "grouped_gemm": info.peak_bf16_tflops}
+    op_dtypes = {"gemm": ("bfloat16", "float32"),
+                 "fp8_gemm": ("float8_e4m3fn", "bfloat16"),
+                 "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16"),
+                 "grouped_masked": ("float8_e4m3fn", "bfloat16")}
 
     best = {}
     analytic_pick = {}   # idx 0 = the analytic tier's choice (sweep order
@@ -65,11 +68,14 @@ def main(argv=None) -> int:
         f"# Benchmarks — {device}",
         "",
         "Best measured configuration per shape from the autotune sweeps "
-        "(readback-safe scan-chain timing, `bench/timing.py`). "
-        f"Roofline reference: {info.peak_bf16_tflops:.0f} TF/s "
-        "(bf16/fp8 MXU peak).",
+        "(readback-safe scan-chain timing with adaptive chain length, "
+        "`bench/timing.py`). "
+        f"Light-speed = max(compute, memory) roofline per shape "
+        f"({info.peak_bf16_tflops:.0f} TF/s MXU peak, "
+        f"{info.hbm_gbps:.0f} GB/s HBM); memory-bound shapes (small M) are "
+        "scored against the bandwidth bound, not the MXU peak.",
         "",
-        "| op | M | N | K | best (bm,bn,bk) | time | TF/s | % roofline "
+        "| op | M | N | K | best (bm,bn,bk) | time | TF/s | % light-speed "
         "| vs analytic | configs tried |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
@@ -78,7 +84,12 @@ def main(argv=None) -> int:
         op, m, n, k = key
         c = r["config"]
         tf = r["tflops"]
-        pct = 100.0 * tf / peaks.get(op, info.peak_bf16_tflops)
+        in_dt, out_dt = op_dtypes.get(op, ("bfloat16", "float32"))
+        # Grouped records store per-expert (m, n, k) with E-scaled tflops;
+        # the per-expert roofline fraction uses the per-expert time share.
+        rl = gemm_roofline(m, n, k, in_dt, out_dt, info)
+        scale = tf * 1e12 * r["time_s"] / (2.0 * m * n * k)  # E for grouped
+        pct = 100.0 * rl.fraction(r["time_s"] / max(scale, 1.0))
         t_us = r["time_s"] * 1e6
         t_str = f"{t_us/1000:.3f} ms" if t_us >= 1000 else f"{t_us:.1f} us"
         ana = analytic_pick.get(key)
