@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     ap.add_argument("--hidden", type=int, nargs="*", default=[64, 128, 64])
     args = ap.parse_args(argv)
 
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # tiny MLP; never contend for the chip
     from deepgemm_ascend_tpu.tiling import predictor
 
     paths = sorted(glob.glob(args.sweep_glob))
