@@ -166,4 +166,6 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
                    [KVCache(P("data"), P("data"), P("data"), P("data"))
                     for _ in range(cfg.num_layers)]),
     )
-    return jax.jit(fn)
+    # Donate the KV caches — without it every step holds two full copies
+    # of the multi-layer int8 cache per shard and re-writes it wholesale.
+    return jax.jit(fn, donate_argnums=(2,))

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ import numpy as np
 from ..models.attention import KVCache
 from ..models.config import ModelConfig
 from ..models.model import ModelParams, decode_step, forward, init_cache
-from ..utils.common import ceil_div
 from ..utils.logging import get_logger, metrics
 from .scheduler import Scheduler
 
@@ -44,6 +43,7 @@ def sample_logits(logits: jax.Array, key, *, temperature: float = 0.0,
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
+    top_k = min(top_k, logits.shape[-1])   # top_k > vocab would crash
     if top_k > 0:
         kth = (jnp.sort(logits, axis=-1)[..., -top_k:-top_k + 1]
                if top_k > 1 else jnp.max(logits, -1, keepdims=True))
@@ -56,6 +56,10 @@ def sample_logits(logits: jax.Array, key, *, temperature: float = 0.0,
         # cutoff logit and mask everything strictly below it (the top-1
         # token is always kept: cum − probs < top_p holds at rank 0).
         keep = cum - probs < top_p
+        # Rank 0 must survive even for top_p <= 0 (else every logit masks
+        # to -inf and categorical returns garbage).
+        col = jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1)
+        keep = keep | (col == 0)
         cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
                          keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
@@ -84,7 +88,11 @@ class Engine:
         device dispatch (lax.scan with in-graph sampling). Amortizes the
         per-step host/dispatch latency N× at the cost of admission
         granularity (new requests wait ≤ N steps) and up to N−1 wasted
-        steps per request after its EOS (the scheduler discards them)."""
+        steps per request after its EOS (the scheduler discards them).
+
+        Sampling parameters are fixed at construction (the chunked decode
+        graph closes over them) — mutating ``engine.temperature`` etc.
+        after init is unsupported."""
         self.cfg = cfg
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or cfg.max_seq_len
@@ -93,6 +101,9 @@ class Engine:
         self.top_k = top_k
         self.top_p = top_p
         self.decode_chunk = max(int(decode_chunk), 1)
+        if mesh is not None and self.decode_chunk > 1:
+            raise ValueError("decode_chunk > 1 is not implemented for "
+                             "mesh mode (would silently single-step)")
         self._key = jax.random.PRNGKey(seed)
         self._mesh = mesh
 
@@ -106,21 +117,25 @@ class Engine:
         else:
             self.params = params
             self.caches = init_cache(cfg, max_slots, self.max_seq_len)
-            self._decode = jax.jit(functools.partial(decode_step, cfg=cfg))
+            # Donate the caches: the multi-layer int8 KV pytree is updated
+            # functionally every step — without donation XLA keeps two full
+            # copies and re-writes GBs per token.
+            self._decode = jax.jit(functools.partial(decode_step, cfg=cfg),
+                                   donate_argnums=(2,))
 
         self.seq_lens = jnp.zeros((max_slots,), jnp.int32)
         self.last_tokens = jnp.zeros((max_slots,), jnp.int32)
         self._prefill_cache: dict = {}
         self._mesh_prefill_cache: dict = {}
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
-                      "decode_time_s": 0.0}
+                      "decode_tokens": 0, "decode_time_s": 0.0}
 
         self._chunk_fn = None
         if mesh is None and self.decode_chunk > 1:
             chunk, temp = self.decode_chunk, temperature
             tk, tp = top_k, top_p
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(2,))
             def chunk_fn(params, toks, caches, lens, mask, key):
                 def body(carry, _):
                     toks, caches, lens, key = carry
@@ -148,7 +163,7 @@ class Engine:
             return self._prefill_cache[bucket]
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill(params, caches, tokens, true_len, slot):
             # tokens: (bucket,) padded prompt; slice out slot's cache rows.
             sub = [KVCache(k_q=c.k_q[slot][None], k_s=c.k_s[slot][None],
@@ -181,7 +196,7 @@ class Engine:
             return self._mesh_prefill_cache[bucket]
         decode = self._decode
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def run(params, caches, last_tokens, seq_lens, prompt, slot,
                 true_len):
             slot_hot = jnp.arange(seq_lens.shape[0]) == slot
@@ -244,6 +259,10 @@ class Engine:
                 first_tok = self._prefill_via_decode(adm)
             else:
                 bucket = _bucket(len(adm.prompt))
+                if bucket > self.max_seq_len:
+                    # pow2 bucket overshoots the cache: round to the flash
+                    # prefill granularity instead of wasting up to 2x work
+                    bucket = -(-len(adm.prompt) // 16) * 16
                 toks = np.zeros((bucket,), np.int32)
                 toks[:len(adm.prompt)] = adm.prompt
                 prefill = self._prefill_fn(bucket)
@@ -304,6 +323,7 @@ class Engine:
                 if not slot_tokens:
                     break
                 self.stats["tokens_out"] += len(slot_tokens)
+                self.stats["decode_tokens"] += len(slot_tokens)
                 metrics.inc("engine.tokens_out", len(slot_tokens))
                 for rid in sched.record_tokens(slot_tokens):
                     get_logger().info("req %d finished", rid)
@@ -319,9 +339,11 @@ class Engine:
         ids = [self.scheduler.submit(p, max_new_tokens) for p in prompts]
         while self.scheduler.has_work:
             self.step()
-        return [self.scheduler.result(i).output for i in ids]
+        return [self.scheduler.pop_result(i).output for i in ids]
 
     @property
     def tokens_per_second(self) -> float:
+        """Decode throughput: decode-emitted tokens over decode dispatch
+        time (prefill-sampled tokens are excluded from both sides)."""
         t = self.stats["decode_time_s"]
-        return self.stats["tokens_out"] / t if t > 0 else 0.0
+        return self.stats["decode_tokens"] / t if t > 0 else 0.0

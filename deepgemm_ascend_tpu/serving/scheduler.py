@@ -61,6 +61,9 @@ class Scheduler:
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
         if not prompt:
             raise ValueError("empty prompt")
+        if max_new_tokens < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got "
+                             f"{max_new_tokens}")
         if len(prompt) + max_new_tokens > self.max_seq_len:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
@@ -111,3 +114,8 @@ class Scheduler:
 
     def result(self, req_id: int) -> Request:
         return self.finished[req_id]
+
+    def pop_result(self, req_id: int) -> Request:
+        """Fetch AND release a finished request — long-running servers must
+        use this (``finished`` grows without bound otherwise)."""
+        return self.finished.pop(req_id)

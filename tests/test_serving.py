@@ -168,3 +168,33 @@ def test_metrics_counters_move(model):
     assert snap.get("engine.tokens_out", 0) >= 2
     assert snap.get("tiling.cache_miss", 0) + snap.get(
         "tiling.cache_hit", 0) > 0
+
+
+def test_sample_logits_edge_cases():
+    from deepgemm_ascend_tpu.serving.engine import sample_logits
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]], jnp.float32)
+    # top_k beyond vocab: clamped, no crash
+    s = sample_logits(logits, key, temperature=1.0, top_k=99)
+    assert s.shape == (1,) and 0 <= int(s[0]) < 4
+    # top_p == 0: degenerates to the argmax token (rank 0 always kept)
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temperature=2.0, top_p=0.0)),
+        [1])
+
+
+def test_scheduler_rejects_nonpositive_budget():
+    from deepgemm_ascend_tpu.serving import Scheduler
+    s = Scheduler(2, 64)
+    with pytest.raises(ValueError):
+        s.submit([1, 2], max_new_tokens=0)
+
+
+def test_scheduler_pop_result_releases(model):
+    cfg, params = model
+    eng = Engine(params, cfg, max_slots=1, max_seq_len=64)
+    rid = eng.scheduler.submit([1, 2], max_new_tokens=2)
+    while eng.scheduler.has_work:
+        eng.step()
+    assert eng.scheduler.pop_result(rid).output
+    assert rid not in eng.scheduler.finished  # long-running servers don't leak
