@@ -52,6 +52,12 @@ class KVCache:
         positions: (batch, s_new) int32 absolute slots."""
         k_q, k_s = quant.quantize_int8(k_new, axis=-1)   # (b,s,kvh,hd)/(…,1)
         v_q, v_s = quant.quantize_int8(v_new, axis=-1)
+        return self.write_quantized(k_q, k_s, v_q, v_s, positions)
+
+    def write_quantized(self, k_q, k_s, v_q, v_s,
+                        positions: jax.Array) -> "KVCache":
+        """Scatter already-quantized rows (k_q (b,s,kvh,hd) int8, k_s
+        (b,s,kvh,1) f32) at ``positions``."""
         b, s = positions.shape
         # Advanced indices at axes 0 and 2 (slice between) → result dims
         # (b, s, kvh, …), which is exactly the quantizer's output layout.
@@ -124,9 +130,6 @@ def attention(
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
 
-    cache = cache.update(k.astype(jnp.float32), v.astype(jnp.float32),
-                         positions)
-
     use_flash = (s == 1 and tp_heads is None
                  and cfg.use_flash_decode and cache.max_seq % 8 == 0)
     use_flash_prefill = (s > 1 and s % 16 == 0 and tp_heads is None
@@ -134,13 +137,34 @@ def attention(
                          and prefill_start is not None
                          and cache.max_seq % 8 == 0)
     if use_flash:
-        # Streaming int8-cache kernel — no HBM dequant materialization
-        # (ops/flash_decode.py).
-        from ..ops.flash_decode import flash_decode_gqa
-        out = flash_decode_gqa(q[:, 0], cache.k_q, cache.k_s, cache.v_q,
-                               cache.v_s, seq_lens)
+        # Fused attention + cache write (ops/flash_decode.py inplace
+        # kernel): the current token's quantized K/V rows ride into the
+        # kernel, which both attends them and writes them back through
+        # aliased outputs. An XLA scatter whose result feeds a pallas_call
+        # makes the compiler materialize a full cache copy every step
+        # (measured ~9 ms/step for V2_LITE at batch 64 / S 2048); only the
+        # tiny scale panels are scattered outside.
+        from ..ops.flash_decode import flash_decode_gqa_inplace
+        k_q8, k_s8 = quant.quantize_int8(k.astype(jnp.float32), axis=-1)
+        v_q8, v_s8 = quant.quantize_int8(v.astype(jnp.float32), axis=-1)
+        b_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, 1))
+        ks2 = cache.k_s.at[b_idx, :, positions].set(k_s8[..., 0])
+        vs2 = cache.v_s.at[b_idx, :, positions].set(v_s8[..., 0])
+        out, kq2, vq2 = flash_decode_gqa_inplace(
+            q[:, 0], cache.k_q, ks2, cache.v_q, vs2,
+            k_q8[:, 0], v_q8[:, 0], seq_lens)
+        cache = KVCache(k_q=kq2, k_s=ks2, v_q=vq2, v_s=vs2)
         out = out.reshape(b, 1, heads * hd).astype(jnp.bfloat16)
-    elif use_flash_prefill:
+        if axis_name is not None:
+            proj = params.wo(out, out_dtype=jnp.float32)
+            proj = jax.lax.psum(proj, axis_name).astype(jnp.bfloat16)
+        else:
+            proj = params.wo(out)
+        return proj, cache
+
+    cache = cache.update(k.astype(jnp.float32), v.astype(jnp.float32),
+                         positions)
+    if use_flash_prefill:
         # Chunked causal streaming kernel for prompt ingestion — callers
         # with consecutive positions (row i at prefill_start + i) avoid the
         # XLA path's (b, s, heads, S) logits materialization.

@@ -197,3 +197,41 @@ def test_model_prefill_flash_vs_xla():
     # tolerance rationale as the decode twin above.
     assert np.all(np.isfinite(np.asarray(lf)))
     assert verify.relative_l2_error(np.asarray(lf), np.asarray(lx)) < 0.15
+
+
+def test_flash_state_merge_equals_full_attention():
+    """state variant over [0, len-1) + analytic merge of the final token
+    must equal flash over [0, len) — the decode path's split-update
+    identity (models/attention.py)."""
+    from deepgemm_ascend_tpu.ops.flash_decode import flash_decode_gqa_state
+    rng = np.random.default_rng(5)
+    b, heads, kvh, s_max, hd = 2, 4, 2, 128, 64
+    k_q, k_s, v_q, v_s = _mk_cache(rng, b, kvh, s_max, hd)
+    q = jnp.asarray(rng.normal(size=(b, heads, hd)), jnp.float32)
+    lens = jnp.asarray([100, 1], jnp.int32)   # incl. the just-written token
+
+    full = np.asarray(flash_decode_gqa(q, k_q, k_s, v_q, v_s, lens,
+                                       block_s=64, interpret=True))
+
+    acc, m, l = flash_decode_gqa_state(q, k_q, k_s, v_q, v_s, lens - 1,
+                                       block_s=64, interpret=True)
+    g = heads // kvh
+    kv_map = np.arange(heads) // g
+    pos = np.asarray(lens) - 1
+    kf = (np.asarray(k_q, np.float32)
+          * np.asarray(k_s)[..., None])[np.arange(b)[:, None],
+                                        kv_map[None, :], pos[:, None]]
+    vf = (np.asarray(v_q, np.float32)
+          * np.asarray(v_s)[..., None])[np.arange(b)[:, None],
+                                        kv_map[None, :], pos[:, None]]
+    s_cur = np.sum(np.asarray(q) * kf, -1) / np.sqrt(hd)
+    m_new = np.maximum(np.asarray(m), s_cur)
+    alpha = np.exp(np.asarray(m) - m_new)
+    beta = np.exp(s_cur - m_new)
+    merged = ((np.asarray(acc) * alpha[..., None] + beta[..., None] * vf)
+              / (np.asarray(l) * alpha + beta)[..., None])
+    # The split path computes the final token's term in f32 while the full
+    # kernel runs it through the bf16 dot — ~1% accumulation-order noise.
+    res = verify.verify(merged.astype(np.float32), full.astype(np.float32),
+                        rtol=2e-2, atol=2e-2, max_ratio=1e-3)
+    assert res.ok, res
