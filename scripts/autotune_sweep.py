@@ -43,7 +43,8 @@ def main(argv=None) -> int:
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world", type=int, default=1)
     ap.add_argument("--shapes", nargs="*", type=int, default=None,
-                    help="explicit M N K triples (flat list)")
+                    help="explicit M N K triples (flat list; E M N K "
+                         "quadruples for grouped_gemm_masked)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -63,7 +64,8 @@ def main(argv=None) -> int:
 
     if args.shapes:
         flat = args.shapes
-        suite = [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]
+        width = 4 if args.op == "grouped_gemm_masked" else 3
+        suite = [tuple(flat[i:i + width]) for i in range(0, len(flat), width)]
     else:
         suite = {"reference": shape_suites.REFERENCE_SUITE,
                  "dynamic": shape_suites.DYNAMIC_SWEEP,
