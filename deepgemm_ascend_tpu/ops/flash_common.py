@@ -51,3 +51,14 @@ def finalize(l_ref, acc_ref, out_dtype):
     l = l_ref[:, 0:1]
     safe = jnp.where(l > 0, l, 1.0)
     return (acc_ref[:] / safe).astype(out_dtype)
+
+
+def pick_block_s(s_max: int, block_s: int) -> int:
+    """Largest legal S block ≤ ``block_s``: a multiple of 128 dividing the
+    cache length, else the whole length (block == array dim is always
+    legal). Shared by the decode and prefill kernels."""
+    if s_max > block_s:
+        for cand in range((block_s // 128) * 128, 0, -128):
+            if s_max % cand == 0:
+                return cand
+    return s_max

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_common import NEG_INF, finalize, online_softmax_update, select_scale_row
+from .flash_common import (NEG_INF, finalize, online_softmax_update,
+                           pick_block_s, select_scale_row)
 from .gemm import _interpret_default
 
 __all__ = ["flash_decode_gqa", "flash_decode_gqa_inplace",
@@ -103,6 +104,21 @@ def _kernel_compute_only(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         online_softmax_update(s, v, v_s, m_ref, l_ref, acc_ref)
 
 
+def _decode_kv_maps(block_s: int):
+    """Clamped index maps shared by all decode-call variants: blocks past a
+    sequence's last valid one re-use the resident block (no dead DMAs)."""
+
+    def kv_map(bi, kvi, si, lens):
+        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
+        return (bi, kvi, jnp.minimum(si, last), 0)
+
+    def kv_map3(bi, kvi, si, lens):
+        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
+        return (bi, 0, jnp.minimum(si, last))
+
+    return kv_map, kv_map3
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def _call(seq_lens, q, k_q, k_s, v_q, v_s, *, block_s, interpret):
     b, kvh, g_pad, hd = q.shape
@@ -110,15 +126,7 @@ def _call(seq_lens, q, k_q, k_s, v_q, v_s, *, block_s, interpret):
     scale = 1.0 / math.sqrt(hd)
     kernel = functools.partial(_kernel, block_s=block_s, ns=ns, scale=scale)
 
-    def kv_map(bi, kvi, si, lens):
-        # Clamp skipped blocks onto the last valid one → their DMA re-uses
-        # the resident block instead of fetching dead cache lines.
-        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
-        return (bi, kvi, jnp.minimum(si, last), 0)
-
-    def kv_map3(bi, kvi, si, lens):
-        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
-        return (bi, 0, jnp.minimum(si, last))
+    kv_map, kv_map3 = _decode_kv_maps(block_s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -159,13 +167,7 @@ def _call_state(seq_lens, q, k_q, k_s, v_q, v_s, *, block_s, interpret):
     kernel = functools.partial(_kernel_state, block_s=block_s, ns=ns,
                                scale=scale)
 
-    def kv_map(bi, kvi, si, lens):
-        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
-        return (bi, kvi, jnp.minimum(si, last), 0)
-
-    def kv_map3(bi, kvi, si, lens):
-        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
-        return (bi, 0, jnp.minimum(si, last))
+    kv_map, kv_map3 = _decode_kv_maps(block_s)
 
     out_map = lambda bi, kvi, si, lens: (bi, kvi, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -231,7 +233,7 @@ def flash_decode_gqa_state(
     g = heads // kvh
     if interpret is None:
         interpret = _interpret_default()
-    bs = _pick_block_s(s_max, block_s)
+    bs = pick_block_s(s_max, block_s)
     g_pad = max(g, 16)
     qg = q.astype(jnp.bfloat16).reshape(b, kvh, g, hd)
     if g_pad != g:
@@ -326,13 +328,7 @@ def _call_inplace(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new, *,
     kernel = functools.partial(_kernel_inplace, block_s=block_s, ns=ns,
                                scale=scale, tile=tile)
 
-    def kv_map(bi, kvi, si, lens):
-        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
-        return (bi, kvi, jnp.minimum(si, last), 0)
-
-    def kv_map3(bi, kvi, si, lens):
-        last = jnp.maximum(pl.cdiv(lens[bi], block_s) - 1, 0)
-        return (bi, 0, jnp.minimum(si, last))
+    kv_map, kv_map3 = _decode_kv_maps(block_s)
 
     def tile_map(bi, kvi, si, lens):
         # Cache tile holding the new token (constant in si → one writeback
@@ -408,7 +404,7 @@ def flash_decode_gqa_inplace(
     g = heads // kvh
     if interpret is None:
         interpret = _interpret_default()
-    bs = _pick_block_s(s_max, block_s)
+    bs = pick_block_s(s_max, block_s)
     g_pad = max(g, 16)
     qg = q.astype(jnp.bfloat16).reshape(b, kvh, g, hd)
     if g_pad != g:
@@ -419,15 +415,6 @@ def flash_decode_gqa_inplace(
         k_new[:, :, None, :], v_new[:, :, None, :],
         block_s=bs, interpret=interpret)
     return out[:, :, :g, :].reshape(b, heads, hd), kq2, vq2
-
-
-def _pick_block_s(s_max: int, block_s: int) -> int:
-    bs = s_max
-    if s_max > block_s:
-        for cand in range((block_s // 128) * 128, 0, -128):
-            if s_max % cand == 0:
-                return cand
-    return bs
 
 
 def flash_decode_gqa(
@@ -457,7 +444,7 @@ def flash_decode_gqa(
         interpret = _interpret_default()
     # Legal S blocks: a multiple of 128 dividing S (lane-dim tiling of the
     # scale panels), or the whole length.
-    bs = _pick_block_s(s_max, block_s)
+    bs = pick_block_s(s_max, block_s)
     g_pad = max(g, 16)  # bf16 q sublane minimum
     qg = q.astype(jnp.bfloat16).reshape(b, kvh, g, hd)
     if g_pad != g:

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_common import NEG_INF, finalize, online_softmax_update, select_scale_row
+from .flash_common import (NEG_INF, finalize, online_softmax_update,
+                           pick_block_s, select_scale_row)
 from .gemm import _interpret_default
 
 __all__ = ["flash_prefill_gqa"]
@@ -184,12 +185,7 @@ def flash_prefill_gqa(
         raise ValueError(
             f"flash_prefill_gqa needs a q-block that is a multiple of 16 "
             f"dividing s={s}; use the XLA attention path for ragged prompts")
-    bs = s_max
-    if s_max > block_s:
-        for cand in range((block_s // 128) * 128, 0, -128):
-            if s_max % cand == 0:
-                bs = cand
-                break
+    bs = pick_block_s(s_max, block_s)
     # (g, block_q, hd) collapses to (g·block_q, hd) rows in-kernel; bf16
     # wants ≥16 sublanes — guaranteed when g·bq ≥ 16, else grow bq.
     qg = (q.astype(jnp.bfloat16)

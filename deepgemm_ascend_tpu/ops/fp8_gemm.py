@@ -32,9 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import GemmConfig, KernelType
+from ..config import GemmConfig
 from ..tiling import selector
-from ..utils.common import ceil_div
+from ..utils.common import ceil_div, round_up
 from .gemm import _interpret_default
 from .quant import BLOCK
 
@@ -210,9 +210,10 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         s_b = s_b_all[g:g + 1, :]          # (1, bn) f32
         if ragged:
             # Global K-group index may overrun kb_total on the last grid
-            # step; zero the whole contribution. Mask BOTH dot inputs — OOB
-            # fp8 garbage can decode to NaN and 0 × NaN = NaN — and the
-            # B scale row (clamped slice may repeat a valid row).
+            # step; zero the whole contribution. Mask BOTH dot inputs (OOB
+            # fp8 garbage can decode to NaN and 0 × NaN = NaN). The scale
+            # rows need no mask: the one-hot selectors index past the
+            # unpadded panels and therefore select exact zeros.
             valid = k * groups + g < kb_total
             a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
             b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
@@ -259,7 +260,7 @@ def fp8_gemm_with_config(
     if interpret is None:
         interpret = _interpret_default()
 
-    bm = min(config.block_m, _round_up(m, 32))   # fp8 sublane = 32
+    bm = min(config.block_m, round_up(m, 32))   # fp8 sublane = 32
     bn = min(config.block_n, n)
     bk = min(config.block_k, k)
     if bk % BLOCK:
@@ -268,7 +269,6 @@ def fp8_gemm_with_config(
         raise ValueError(f"block_n must be a multiple of {BLOCK}, got {bn}")
     groups = bk // BLOCK
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
-    kb_pad = kb  # one-hot selection never reads out of range
 
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
@@ -277,8 +277,11 @@ def fp8_gemm_with_config(
         transcendentals=0)
     params = {}
     if not interpret:
+        # Must match the grid actually built below: only the accum mode
+        # takes the 2-D single-K-step grid.
+        two_d = nk == 1 and scale_mode == "accum"
         params["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=(("parallel", "parallel") if nk == 1 else
+            dimension_semantics=(("parallel", "parallel") if two_d else
                                  ("parallel", "parallel", "arbitrary")),
             **({"vmem_limit_bytes": config.vmem_limit_bytes}
                if config.vmem_limit_bytes else {}),
@@ -362,6 +365,10 @@ def fp8_gemm(
         return jnp.dot(_dequant_a(a_q, a_scales), _dequant_b(b_q, bse),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST).astype(out_dtype)
+    if auto_pad and b_scales_expanded:
+        raise ValueError("auto_pad requires unexpanded b_scales (the pad "
+                         "helper re-expands them; pass b_scales_expanded="
+                         "False)")
     if auto_pad and not b_scales_expanded:
         from ..tiling.padding import pad_fp8_operands
         a_q, a_scales, b_q, b_scales, n_orig = pad_fp8_operands(
@@ -382,5 +389,3 @@ def fp8_gemm(
         interpret=interpret, mxu_dtype=mxu_dtype, scale_mode=scale_mode)
 
 
-def _round_up(x: int, m_: int) -> int:
-    return -(-x // m_) * m_

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import GemmConfig, KernelType, SwizzleDir
 from ..tiling import selector
-from ..utils.common import ceil_div
+from ..utils.common import ceil_div, round_up
 
 __all__ = ["gemm", "bgemm", "gemm_with_config"]
 
@@ -108,9 +108,9 @@ def gemm_with_config(
     if interpret is None:
         interpret = _interpret_default()
 
-    bm = min(config.block_m, _round_up(m, _sublane(a.dtype)))
-    bn = min(config.block_n, _round_up(n, 128))
-    bk = min(config.block_k, _round_up(k, 128))
+    bm = min(config.block_m, round_up(m, _sublane(a.dtype)))
+    bn = min(config.block_n, round_up(n, 128))
+    bk = min(config.block_k, round_up(k, 128))
     if config.pad_k and k % bk:
         # Pre-pad K in HBM instead of masking the tail on every grid step —
         # the padding cost model's PAD_K decision (tiling/padding.py,
@@ -237,10 +237,6 @@ def _gemm_ksplit(a, b, bm, bn, bk, k_split, out_dtype, interpret):
 def _sublane(dtype) -> int:
     from ..tiling.platform import min_sublane
     return min_sublane(dtype)
-
-
-def _round_up(x: int, m_: int) -> int:
-    return -(-x // m_) * m_
 
 
 def gemm(

@@ -222,6 +222,12 @@ def m_grouped_gemm_contiguous(
         max(m // max(n_tiles, 1), 1), n, k,
         a_q.dtype, out_dtype, op="grouped_gemm", k_granularity=BLOCK,
         override=config)
+    # The layout already fixed block_m (M_total / #tiles,
+    # make_contiguous_layout) — an independently-selected block_m would
+    # break the tile→expert mapping, so the selector only chooses bn/bk.
+    bm_layout = m // max(int(n_tiles), 1)
+    if config is None and cfg.block_m != bm_layout:
+        cfg = cfg.replace(block_m=bm_layout)
     bm = cfg.block_m
     if m % bm:
         raise ValueError(f"M_total={m} must be a multiple of block_m={bm}")
@@ -362,8 +368,11 @@ def m_grouped_gemm_masked(
 
     a_q: (E, M_max, K) e4m3; a_scales: (E, M_max, K/128) f32;
     b_q: (E, K, N) e4m3; b_scales: (E, K/128, N/128) f32;
-    masked_m: (E,) int32 — rows ≥ masked_m[e] are ignored (output zeroed).
-    Shapes are static across decode steps; only contents vary.
+    masked_m: (E,) int32 — rows ≥ masked_m[e] are ignored. Their output is
+    UNSPECIFIED (whole inactive tiles are zeroed; the tail rows of a
+    partially-active tile contain garbage — gather only valid slots, as
+    models/moe.py does). Shapes are static across decode steps; only
+    contents vary.
     """
     e, m_max, k = a_q.shape
     e2, k2, n = b_q.shape
