@@ -101,9 +101,6 @@ class Engine:
         self.top_k = top_k
         self.top_p = top_p
         self.decode_chunk = max(int(decode_chunk), 1)
-        if mesh is not None and self.decode_chunk > 1:
-            raise ValueError("decode_chunk > 1 is not implemented for "
-                             "mesh mode (would silently single-step)")
         self._key = jax.random.PRNGKey(seed)
         self._mesh = mesh
 
@@ -131,16 +128,19 @@ class Engine:
                       "decode_tokens": 0, "decode_time_s": 0.0}
 
         self._chunk_fn = None
-        if mesh is None and self.decode_chunk > 1:
+        if self.decode_chunk > 1:
             chunk, temp = self.decode_chunk, temperature
             tk, tp = top_k, top_p
+            # In mesh mode the scanned step is the jitted shard_map program
+            # (nested jit inlines; its inner donation is subsumed by ours).
+            step_fn = (self._decode if mesh is not None
+                       else functools.partial(decode_step, cfg=cfg))
 
             @functools.partial(jax.jit, donate_argnums=(2,))
             def chunk_fn(params, toks, caches, lens, mask, key):
                 def body(carry, _):
                     toks, caches, lens, key = carry
-                    logits, caches = decode_step(params, toks, caches, lens,
-                                                 cfg)
+                    logits, caches = step_fn(params, toks, caches, lens)
                     key, sub = jax.random.split(key)
                     nxt = sample_logits(logits, sub, temperature=temp,
                                         top_k=tk, top_p=tp)

@@ -198,3 +198,15 @@ def test_scheduler_pop_result_releases(model):
         eng.step()
     assert eng.scheduler.pop_result(rid).output
     assert rid not in eng.scheduler.finished  # long-running servers don't leak
+
+
+def test_engine_mesh_chunked_decode_matches(model):
+    from deepgemm_ascend_tpu.parallel import make_mesh
+    cfg, params = model
+    mesh = make_mesh(dp=2, ep=4, tp=1)
+    ref = Engine(params, cfg, max_slots=2, max_seq_len=64,
+                 mesh=mesh).generate([[1, 2, 3], [4, 5]], max_new_tokens=6)
+    got = Engine(params, cfg, max_slots=2, max_seq_len=64, mesh=mesh,
+                 decode_chunk=3).generate([[1, 2, 3], [4, 5]],
+                                          max_new_tokens=6)
+    assert got == ref
