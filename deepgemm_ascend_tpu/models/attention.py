@@ -147,12 +147,10 @@ def attention(
         from ..ops.flash_decode import flash_decode_gqa_inplace
         k_q8, k_s8 = quant.quantize_int8(k.astype(jnp.float32), axis=-1)
         v_q8, v_s8 = quant.quantize_int8(v.astype(jnp.float32), axis=-1)
-        b_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, 1))
-        ks2 = cache.k_s.at[b_idx, :, positions].set(k_s8[..., 0])
-        vs2 = cache.v_s.at[b_idx, :, positions].set(v_s8[..., 0])
-        out, kq2, vq2 = flash_decode_gqa_inplace(
-            q[:, 0], cache.k_q, ks2, cache.v_q, vs2,
-            k_q8[:, 0], v_q8[:, 0], seq_lens)
+        out, kq2, vq2, ks2, vs2 = flash_decode_gqa_inplace(
+            q[:, 0], cache.k_q, cache.k_s, cache.v_q, cache.v_s,
+            k_q8[:, 0], v_q8[:, 0], k_s8[:, 0, :, 0], v_s8[:, 0, :, 0],
+            seq_lens)
         cache = KVCache(k_q=kq2, k_s=ks2, v_q=vq2, v_s=vs2)
         out = out.reshape(b, 1, heads * hd).astype(jnp.bfloat16)
         if axis_name is not None:

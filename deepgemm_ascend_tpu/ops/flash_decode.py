@@ -249,19 +249,23 @@ def flash_decode_gqa_state(
 
 
 def _kernel_inplace(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                    kn_ref, vn_ref, o_ref, okq_ref, ovq_ref,
+                    kn_ref, vn_ref, ksn_ref, vsn_ref,
+                    o_ref, okq_ref, ovq_ref, oks_ref, ovs_ref,
                     m_ref, l_ref, acc_ref, *,
                     block_s: int, ns: int, scale: float, tile: int):
-    """Cache-writing variant: the current token's quantized K/V rows ride
-    as tiny inputs, are spliced into the resident S block for the
-    attention math, and the 128-row tile containing the new row is written
-    back through aliased outputs. This keeps the cache update INSIDE the
-    kernel: scattering it in XLA while the kernel reads the same buffer
-    makes the compiler materialize a full cache copy every decode step
-    (measured ~9 ms for V2_LITE at batch 64 / S 2048).
+    """Cache-writing variant: the current token's quantized K/V rows AND
+    scale entries ride as tiny inputs, are spliced into the resident
+    blocks for the attention math, and the cache tiles containing the new
+    entries are written back through aliased outputs. This keeps the whole
+    cache update INSIDE the kernel: scattering it in XLA while the kernel
+    reads the same buffers makes the compiler materialize full cache
+    copies every decode step (measured ~9 ms for V2_LITE at batch 64 /
+    S 2048 for the int8 values; the scale panels cost another ~1 ms at
+    long caches).
 
-    Scale caches (ks/vs) must already contain the new rows (scattered
-    outside — they're ~0.4% of the cache, the copy is noise).
+    ksn/vsn: (1, kvh, 1) f32 blocks — every program of a batch row writes
+    the same spliced (kvh, tile) scale slab, so the kvh-indexed writes are
+    idempotent (no cross-program race on the sequential core).
     """
     b = pl.program_id(0)
     kvi = pl.program_id(1)
@@ -284,13 +288,29 @@ def _kernel_inplace(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         t = jnp.minimum(si, last) * block_s + row
         return jnp.where(t == pos, new_ref[0, 0], blk)
 
+    def new_scale_scalar(sn_ref):
+        # This kv head's new scale: one-hot row select over (kvh, 1).
+        kvh = sn_ref.shape[1]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1)
+                  == kvi).astype(jnp.float32)
+        return jnp.dot(onehot, sn_ref[0],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)    # (1, 1)
+
+    def spliced_scale_row(sc_ref, sn_ref):
+        row = select_scale_row(sc_ref, kvi)                    # (1, bs)
+        col = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        last = jnp.maximum(pl.cdiv(seq_len, block_s) - 1, 0)
+        t = jnp.minimum(si, last) * block_s + col
+        return jnp.where(t == pos, new_scale_scalar(sn_ref), row)
+
     @pl.when(si * block_s < seq_len)
     def _compute():
         q = q_ref[0, 0]
         k = spliced(kq_ref, kn_ref).astype(jnp.bfloat16)
         v = spliced(vq_ref, vn_ref).astype(jnp.bfloat16)
-        k_s = select_scale_row(ks_ref, kvi)
-        v_s = select_scale_row(vs_ref, kvi)
+        k_s = spliced_scale_row(ks_ref, ksn_ref)
+        v_s = spliced_scale_row(vs_ref, vsn_ref)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -302,10 +322,10 @@ def _kernel_inplace(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     @pl.when(si == ns - 1)
     def _store():
         o_ref[0, 0] = finalize(l_ref, acc_ref, o_ref.dtype)
-        # Write back the cache tile containing the new row (tile = 128
-        # rows when S divides; whole-S otherwise). The resident input
-        # block at si == ns-1 is the clamped (pos-containing) block; slice
-        # the REF at a provably tile-aligned offset (value-level
+        # Write back the cache tiles containing the new entries (tile =
+        # 128 when S divides; whole-S otherwise). The resident input
+        # blocks at si == ns-1 are the clamped (pos-containing) ones;
+        # slice the REFS at provably tile-aligned offsets (value-level
         # dynamic_slice has no Mosaic lowering).
         off = pl.multiple_of(
             (jax.lax.rem(pos, block_s) // tile) * tile, tile)
@@ -316,11 +336,20 @@ def _kernel_inplace(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                                   kq_ref[0, 0, pl.ds(off, tile), :])
         ovq_ref[0, 0] = jnp.where(t == pos, vn_ref[0, 0],
                                   vq_ref[0, 0, pl.ds(off, tile), :])
+        # Scale tiles: (kvh, tile) slabs spliced with ALL kv heads' new
+        # scales — identical content from every kvi program (idempotent).
+        kvh = ks_ref.shape[1]
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (kvh, tile), 1)
+        tglob = last * block_s + off + tcol
+        oks_ref[0] = jnp.where(tglob == pos, ksn_ref[0],
+                               ks_ref[0, :, pl.ds(off, tile)])
+        ovs_ref[0] = jnp.where(tglob == pos, vsn_ref[0],
+                               vs_ref[0, :, pl.ds(off, tile)])
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
-def _call_inplace(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new, *,
-                  block_s, interpret):
+def _call_inplace(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new,
+                  k_snew, v_snew, *, block_s, interpret):
     b, kvh, g_pad, hd = q.shape
     ns = k_q.shape[2] // block_s
     scale = 1.0 / math.sqrt(hd)
@@ -335,6 +364,9 @@ def _call_inplace(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new, *,
         # per (b, kv head)).
         return (bi, kvi, jnp.maximum(lens[bi] - 1, 0) // tile, 0)
 
+    def scale_tile_map(bi, kvi, si, lens):
+        return (bi, 0, jnp.maximum(lens[bi] - 1, 0) // tile)
+
     q_map = lambda bi, kvi, si, lens: (bi, kvi, 0, 0)
     new_map = lambda bi, kvi, si, lens: (bi, kvi, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -348,10 +380,14 @@ def _call_inplace(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new, *,
             pl.BlockSpec((1, kvh, block_s), kv_map3),
             pl.BlockSpec((1, 1, 1, hd), new_map),
             pl.BlockSpec((1, 1, 1, hd), new_map),
+            pl.BlockSpec((1, kvh, 1), lambda bi, kvi, si, lens: (bi, 0, 0)),
+            pl.BlockSpec((1, kvh, 1), lambda bi, kvi, si, lens: (bi, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, 1, g_pad, hd), q_map),
                    pl.BlockSpec((1, 1, tile, hd), tile_map),
-                   pl.BlockSpec((1, 1, tile, hd), tile_map)),
+                   pl.BlockSpec((1, 1, tile, hd), tile_map),
+                   pl.BlockSpec((1, kvh, tile), scale_tile_map),
+                   pl.BlockSpec((1, kvh, tile), scale_tile_map)),
         scratch_shapes=[
             pltpu.VMEM((g_pad, 128), jnp.float32),
             pltpu.VMEM((g_pad, 128), jnp.float32),
@@ -367,35 +403,39 @@ def _call_inplace(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new, *,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((b, kvh, g_pad, hd), jnp.float32),
                    jax.ShapeDtypeStruct(k_q.shape, k_q.dtype),
-                   jax.ShapeDtypeStruct(v_q.shape, v_q.dtype)),
+                   jax.ShapeDtypeStruct(v_q.shape, v_q.dtype),
+                   jax.ShapeDtypeStruct(k_s.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v_s.shape, jnp.float32)),
         # Operand indices include the scalar-prefetch arg: seq_lens=0, q=1,
-        # k_q=2, k_s=3, v_q=4, v_s=5, k_new=6, v_new=7.
-        input_output_aliases={2: 1, 4: 2},
+        # k_q=2, k_s=3, v_q=4, v_s=5, k_new=6, v_new=7, k_snew=8, v_snew=9.
+        input_output_aliases={2: 1, 4: 2, 3: 3, 5: 4},
         interpret=interpret,
         **params,
-    )(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new)
+    )(seq_lens, q, k_q, k_s, v_q, v_s, k_new, v_new, k_snew, v_snew)
 
 
 def flash_decode_gqa_inplace(
     q: jax.Array,         # (b, heads, hd)
     k_q: jax.Array,       # (b, kvh, S, hd) int8 — rows [0, len-1) valid
-    k_s: jax.Array,       # (b, kvh, S) f32 — INCLUDING the new row's scale
+    k_s: jax.Array,       # (b, kvh, S) f32 — rows [0, len-1) valid
     v_q: jax.Array,
     v_s: jax.Array,
     k_new: jax.Array,     # (b, kvh, hd) int8 — the current token's row
     v_new: jax.Array,
+    k_snew: jax.Array,    # (b, kvh) f32 — the current token's scales
+    v_snew: jax.Array,
     seq_lens: jax.Array,  # (b,) int32 — length INCLUDING the current token
     *,
     block_s: int = 1024,
     interpret: Optional[bool] = None,
 ):
-    """Fused decode attention + cache write.
+    """Fused decode attention + full cache write.
 
     Attends tokens [0, seq_lens) where the last row comes from
-    ``k_new``/``v_new`` (not yet in the cache), and returns
-    ``(out (b, heads, hd) f32, k_q', v_q')`` with the new rows written into
-    the (aliased, in-place) value caches. Callers must scatter the SCALE
-    rows themselves beforehand (tiny arrays — cheap in XLA).
+    ``k_new``/``v_new``/``k_snew``/``v_snew`` (not yet in the caches), and
+    returns ``(out (b, heads, hd) f32, k_q', v_q', k_s', v_s')`` with the
+    new entries written into all four (aliased, in-place) cache arrays —
+    nothing about the cache ever passes through an XLA scatter.
     """
     b, heads, hd = q.shape
     _, kvh, s_max, _ = k_q.shape
@@ -409,12 +449,14 @@ def flash_decode_gqa_inplace(
     qg = q.astype(jnp.bfloat16).reshape(b, kvh, g, hd)
     if g_pad != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
-    out, kq2, vq2 = _call_inplace(
+    out, kq2, vq2, ks2, vs2 = _call_inplace(
         jnp.asarray(seq_lens, jnp.int32), qg, k_q,
         k_s.astype(jnp.float32), v_q, v_s.astype(jnp.float32),
         k_new[:, :, None, :], v_new[:, :, None, :],
+        k_snew[:, :, None].astype(jnp.float32),
+        v_snew[:, :, None].astype(jnp.float32),
         block_s=bs, interpret=interpret)
-    return out[:, :, :g, :].reshape(b, heads, hd), kq2, vq2
+    return (out[:, :, :g, :].reshape(b, heads, hd), kq2, vq2, ks2, vs2)
 
 
 def flash_decode_gqa(
