@@ -84,7 +84,8 @@ double estimate_time(int64_t m, int64_t n, int64_t k, int64_t bm, int64_t bn,
 }
 
 const int64_t kBmCaps[] = {16, 32, 64, 128, 256, 512, 1024};
-const int64_t kBnCaps[] = {128, 256, 512, 1024, 2048};
+const int64_t kBnCaps[] = {128, 256, 384, 512, 768, 1024, 2048};
+const int64_t kBnCapMax = 2048;
 const int64_t kBkCaps[] = {128, 256, 512, 1024, 2048, 4096};
 
 // == analytic.enumerate_candidates
@@ -103,13 +104,20 @@ void enumerate_candidates(int64_t m, int64_t n, int64_t k, int a_i, int b_i,
   std::set<int64_t> bns;
   for (int64_t c : kBnCaps)
     if (c % p.lane == 0 && c <= hi_n) bns.insert(c);
-  if (hi_n <= kBnCaps[4]) bns.insert(hi_n);
+  if (hi_n <= kBnCapMax) bns.insert(hi_n);
   if (bns.empty()) bns.insert(p.lane);
 
+  int64_t k_pad = round_up(k, k_gran);
   std::set<int64_t> bks;
   for (int64_t c : kBkCaps)
-    if (c % k_gran == 0 && c <= round_up(k, k_gran)) bks.insert(c);
-  if (bks.empty()) bks.insert(round_up(k, k_gran));
+    if (c % k_gran == 0 && c <= k_pad) bks.insert(c);
+  // Full/half/quarter-K blocks for ANY K (== analytic.enumerate_candidates):
+  // block_k == K reaches the fp8 static-scale-slice fast path.
+  for (int64_t frac : {1, 2, 4}) {
+    int64_t cand = round_up(ceil_div(k_pad, frac), k_gran);
+    if (cand >= k_gran) bks.insert(cand);
+  }
+  if (bks.empty()) bks.insert(k_pad);
 
   for (int64_t bm : bms)
     for (int64_t bn : bns)

@@ -48,10 +48,12 @@ class ModelConfig:
         return self.num_kv_heads * self.head_dim
 
 
-# Small config for tests / dry runs.
+# Small config for tests / dry runs. head_dim = 128 so kv_dim/tp stays
+# lane-legal at tp = 2 — the dryrun then exercises the congruent kv-sharded
+# flash-decode path (parallel/sharded.py tp_kv_sharding), like real models.
 TINY = ModelConfig(
     vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
-    num_kv_heads=2, head_dim=64, num_experts=8, num_shared_experts=1,
+    num_kv_heads=2, head_dim=128, num_experts=8, num_shared_experts=1,
     top_k=2, moe_intermediate=256, first_dense_layers=1,
     dense_intermediate=512, max_seq_len=256)
 

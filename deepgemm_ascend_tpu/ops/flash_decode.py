@@ -239,7 +239,7 @@ def flash_decode_gqa_state(
     if g_pad != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
     acc, m, l = _call_state(
-        jnp.asarray(seq_lens, jnp.int32), qg, k_q,
+        jnp.minimum(jnp.asarray(seq_lens, jnp.int32), s_max), qg, k_q,
         k_s.astype(jnp.float32), v_q, v_s.astype(jnp.float32),
         block_s=bs, interpret=interpret)
     acc = acc[:, :, :g, :].reshape(b, heads, hd)
@@ -449,8 +449,14 @@ def flash_decode_gqa_inplace(
     qg = q.astype(jnp.bfloat16).reshape(b, kvh, g, hd)
     if g_pad != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
+    # Clamp to the cache extent: the engine decodes ALL slots, so a freed
+    # slot whose device seq_len already equals S would otherwise derive
+    # pos = S and overrun the tile/kv index maps (XLA clamps the writeback
+    # onto the wrong cache tile). Clamped, its (meaningless) output stays
+    # in-range and a reused slot is rewritten by prefill before attending.
+    seq_lens = jnp.minimum(jnp.asarray(seq_lens, jnp.int32), s_max)
     out, kq2, vq2, ks2, vs2 = _call_inplace(
-        jnp.asarray(seq_lens, jnp.int32), qg, k_q,
+        seq_lens, qg, k_q,
         k_s.astype(jnp.float32), v_q, v_s.astype(jnp.float32),
         k_new[:, :, None, :], v_new[:, :, None, :],
         k_snew[:, :, None].astype(jnp.float32),
@@ -491,7 +497,7 @@ def flash_decode_gqa(
     qg = q.astype(jnp.bfloat16).reshape(b, kvh, g, hd)
     if g_pad != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
-    out = _call(jnp.asarray(seq_lens, jnp.int32), qg, k_q,
+    out = _call(jnp.minimum(jnp.asarray(seq_lens, jnp.int32), s_max), qg, k_q,
                 k_s.astype(jnp.float32), v_q, v_s.astype(jnp.float32),
                 block_s=bs, interpret=interpret)
     return out[:, :, :g, :].reshape(b, heads, hd)

@@ -89,7 +89,7 @@ def expand_weight_scales(b_scales: jax.Array, n: int) -> jax.Array:
 
 def _fp8_gemm_kernel_folded(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
                             nk: int, groups: int, kb_total: int, out_dtype,
-                            mxu_dtype):
+                            mxu_dtype, b_t: bool = False):
     """Folded-scale variant: scales are applied to the operands in f32 and
     the scaled operands cast to bf16 for ONE full-block MXU dot per grid
     step — same loop structure as the dense kernel (ops/gemm.py), trading
@@ -103,34 +103,46 @@ def _fp8_gemm_kernel_folded(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     bm, bk = a_ref.shape
-    bn = b_ref.shape[1]
+    bn = b_ref.shape[0] if b_t else b_ref.shape[1]
     kb_pad = as_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
     sel = (row == k * groups + col).astype(jnp.float32)
     s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)   # (bm, groups)
-    # B scales via the same one-hot dot (a dynamic sublane slice needs a
-    # provably 8-aligned start — impossible for groups < 8). Overrun groups
-    # select nothing → exact zeros, masking the ragged tail for free.
-    rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 1)
-    cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 0)
-    selT = (rT == k * groups + cT).astype(jnp.float32)
-    s_b_all = jnp.dot(selT, bs_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)   # (groups, bn)
 
     a3 = a_ref[:].reshape(bm, groups, BLOCK).astype(jnp.float32)
     a_sc = (a3 * s_a_all[:, :, None]).astype(jnp.bfloat16).reshape(bm, bk)
-    b3 = b_ref[:].reshape(groups, BLOCK, bn).astype(jnp.float32)
-    b_sc = (b3 * s_b_all[:, None, :]).astype(jnp.bfloat16).reshape(bk, bn)
+    if b_t:
+        # (bn, groups): fold scales along B's lane-dim k groups.
+        s_b_allT = jax.lax.dot_general(
+            bs_ref[:], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        b3 = b_ref[:].reshape(bn, groups, BLOCK).astype(jnp.float32)
+        b_sc = (b3 * s_b_allT[:, :, None]).astype(jnp.bfloat16).reshape(bn, bk)
+    else:
+        # B scales via the same one-hot dot (a dynamic sublane slice needs a
+        # provably 8-aligned start — impossible for groups < 8). Overrun
+        # groups select nothing → exact zeros, masking the ragged tail free.
+        rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 1)
+        cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 0)
+        selT = (rT == k * groups + cT).astype(jnp.float32)
+        s_b_all = jnp.dot(selT, bs_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # (groups, bn)
+        b3 = b_ref[:].reshape(groups, BLOCK, bn).astype(jnp.float32)
+        b_sc = (b3 * s_b_all[:, None, :]).astype(jnp.bfloat16).reshape(bk, bn)
     # OOB fp8 garbage (ragged tail) can be NaN; NaN·0 = NaN, so mask the
     # scaled operands where the scale was zeroed.
     if nk * groups != kb_total:
         lane = jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 1)
         a_sc = jnp.where(k * BLOCK * groups + lane < kb_total * BLOCK, a_sc, 0)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 0)
+        kdim = 1 if b_t else 0
+        sub = jax.lax.broadcasted_iota(jnp.int32, b_sc.shape, kdim)
         b_sc = jnp.where(k * BLOCK * groups + sub < kb_total * BLOCK, b_sc, 0)
-    acc_ref[:] += jnp.dot(a_sc, b_sc, preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        a_sc, b_sc, (((1,), (1 if b_t else 0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _store():
@@ -138,22 +150,30 @@ def _fp8_gemm_kernel_folded(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
 
 def _fp8_gemm_kernel_static(a_ref, as_ref, b_ref, bs_ref, o_ref, *,
-                            groups: int, out_dtype, mxu_dtype):
+                            groups: int, out_dtype, mxu_dtype,
+                            b_t: bool = False):
     """Single-K-step variant (nk == 1, i.e. block_k == K): every k-group
     index is a *compile-time* constant, so the scale rows/columns are static
     slices instead of one-hot selection dots — measured 175 vs 162 TF/s at
     4096³ on v5e (the one-hot dots + their iota generation were the entire
     gap to the pure-dot ceiling of ~172-175). The accumulator lives in
     registers/VREGs (value accumulation) and is stored once.
+
+    ``b_t``: B stored (n, k) — DeepGEMM's native NT layout. The k-group
+    slice moves to B's lane dim and the dot contracts lane×lane; the scale
+    panel keeps its (kb, n) layout either way.
     """
     acc = None
     for g in range(groups):
         a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
-        b_g = b_ref[g * BLOCK:(g + 1) * BLOCK, :]
+        b_g = (b_ref[:, g * BLOCK:(g + 1) * BLOCK] if b_t
+               else b_ref[g * BLOCK:(g + 1) * BLOCK, :])
         if mxu_dtype is not None:
             a_g = a_g.astype(mxu_dtype)
             b_g = b_g.astype(mxu_dtype)
-        p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+        dims = (((1,), (1 if b_t else 0,)), ((), ()))
+        p = jax.lax.dot_general(a_g, b_g, dims,
+                                preferred_element_type=jnp.float32)
         contrib = p * as_ref[:, g:g + 1] * bs_ref[g:g + 1, :]
         acc = contrib if acc is None else acc + contrib
     o_ref[:] = acc.astype(out_dtype)
@@ -161,7 +181,7 @@ def _fp8_gemm_kernel_static(a_ref, as_ref, b_ref, bs_ref, o_ref, *,
 
 def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
                      nk: int, groups: int, kb_total: int, out_dtype,
-                     mxu_dtype):
+                     mxu_dtype, b_t: bool = False):
     """Grid (nm, nn, nk); block_k = groups·128.
 
     a_ref: (bm, bk) fp8 | as_ref: (bm, kb_total) f32 — FULL scale panel
@@ -202,7 +222,8 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
     ragged = nk * groups != kb_total  # block_k doesn't divide k
     for g in range(groups):
         a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
-        b_g = b_ref[g * BLOCK:(g + 1) * BLOCK, :]
+        b_g = (b_ref[:, g * BLOCK:(g + 1) * BLOCK] if b_t
+               else b_ref[g * BLOCK:(g + 1) * BLOCK, :])
         if mxu_dtype is not None:
             a_g = a_g.astype(mxu_dtype)
             b_g = b_g.astype(mxu_dtype)
@@ -217,7 +238,9 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
             valid = k * groups + g < kb_total
             a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
             b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-        p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+        p = jax.lax.dot_general(a_g, b_g, (((1,), (1 if b_t else 0,)),
+                                           ((), ())),
+                                preferred_element_type=jnp.float32)
         # Dequant-in-accumulator: scales applied in f32, matching the
         # emulated-dequant golden to bf16-free precision.
         acc_ref[:] += p * s_a * s_b
@@ -227,9 +250,24 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _check_scale_mode(scale_mode: str, allow_relaxed: bool) -> None:
+    """Numerics gate: ``folded`` trades ~2^-9 multiplicand rounding for one
+    full-block dot per step — within its documented 5e-3 rel-L2 contract but
+    OUTSIDE the strict outlier-ratio ≤ 1e-4 acceptance gate on heavy-tail
+    data (the reference's acceptance form, `framework/tests/test.py:19-21`).
+    Require explicit opt-in so nobody picks it expecting gate-clean output."""
+    if scale_mode == "folded" and not allow_relaxed:
+        raise ValueError(
+            "scale_mode='folded' fails the strict outlier-ratio <=1e-4 "
+            "acceptance gate (documented ~2^-9 operand rounding; 5e-3 "
+            "rel-L2 contract). Pass allow_relaxed=True to opt in, or use "
+            "the default scale_mode='accum' (gate-clean, dequant in the "
+            "f32 accumulator).")
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "out_dtype", "interpret", "mxu_dtype",
-                              "scale_mode"))
+                              "scale_mode", "allow_relaxed", "b_layout"))
 def fp8_gemm_with_config(
     a_q: jax.Array,
     a_scales: jax.Array,
@@ -241,12 +279,28 @@ def fp8_gemm_with_config(
     interpret: Optional[bool] = None,
     mxu_dtype=None,
     scale_mode: str = "accum",
+    allow_relaxed: bool = False,
+    b_layout: str = "n",
 ) -> jax.Array:
-    """FP8 GEMM with explicit tiling; ``b_scales_expanded`` is (kb, n) f32."""
+    """FP8 GEMM with explicit tiling; ``b_scales_expanded`` is (kb, n) f32
+    regardless of ``b_layout`` (the scale panel layout is kernel-internal).
+
+    ``b_layout='t'``: B stored (n, k) — DeepGEMM's native NT convention
+    (weights K-major in HBM); the kernels contract B's lane dim directly,
+    no HBM transpose. ≙ the reference's hardcoded A-row/B-col layout pair
+    (`catlass_dynamic_matmul_tiling.cpp:83-104`)."""
+    _check_scale_mode(scale_mode, allow_relaxed)
+    if b_layout not in ("n", "t"):
+        raise ValueError(f"b_layout must be 'n' or 't', got {b_layout!r}")
+    b_t = b_layout == "t"
     m, k = a_q.shape
-    k2, n = b_q.shape
+    if b_t:
+        n, k2 = b_q.shape
+    else:
+        k2, n = b_q.shape
     if k != k2:
-        raise ValueError(f"inner dims mismatch: {a_q.shape} @ {b_q.shape}")
+        raise ValueError(f"inner dims mismatch: {a_q.shape} @ {b_q.shape} "
+                         f"(b_layout={b_layout})")
     if k % BLOCK:
         raise ValueError(f"fp8_gemm requires k % {BLOCK} == 0, got k={k}")
     if n % BLOCK:
@@ -287,20 +341,23 @@ def fp8_gemm_with_config(
                if config.vmem_limit_bytes else {}),
         )
 
+    b_block = (bn, bk) if b_t else (bk, bn)
+
     if nk == 1 and scale_mode == "accum":
         # Whole K in one grid step: static scale slices, no one-hot, no
         # scratch accumulator (fastest path — the tuner's preferred configs
         # land here whenever K fits VMEM).
         kernel = functools.partial(
             _fp8_gemm_kernel_static, groups=groups,
-            out_dtype=out_dtype, mxu_dtype=mxu_dtype)
+            out_dtype=out_dtype, mxu_dtype=mxu_dtype, b_t=b_t)
+        b_map2 = ((lambda i, j: (j, 0)) if b_t else (lambda i, j: (0, j)))
         return pl.pallas_call(
             kernel,
             grid=(nm, nn),
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda i, j: (i, 0)),
                 pl.BlockSpec((bm, kb), lambda i, j: (i, 0)),
-                pl.BlockSpec((bk, bn), lambda i, j: (0, j)),
+                pl.BlockSpec(b_block, b_map2),
                 pl.BlockSpec((kb, bn), lambda i, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
@@ -314,8 +371,10 @@ def fp8_gemm_with_config(
            "folded": _fp8_gemm_kernel_folded}[scale_mode]
     kernel = functools.partial(
         kfn, nk=nk, groups=groups, kb_total=kb,
-        out_dtype=out_dtype, mxu_dtype=mxu_dtype)
+        out_dtype=out_dtype, mxu_dtype=mxu_dtype, b_t=b_t)
 
+    b_map3 = ((lambda i, j, kk: (j, kk)) if b_t
+              else (lambda i, j, kk: (kk, j)))
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
@@ -324,7 +383,7 @@ def fp8_gemm_with_config(
             # Full scale panels: block index constant in kk → resident across
             # the whole K loop of one output tile (no per-step refetch).
             pl.BlockSpec((bm, kb), lambda i, j, kk: (i, 0)),
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec(b_block, b_map3),
             pl.BlockSpec((kb, bn), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
@@ -348,20 +407,47 @@ def fp8_gemm(
     mxu_dtype=None,
     b_scales_expanded: bool = False,
     scale_mode: str = "accum",
+    allow_relaxed: bool = False,
     auto_pad: bool = False,
+    b_layout: str = "n",
 ) -> jax.Array:
     """Blockwise-scaled FP8 GEMM (DeepGEMM ``gemm_fp8_fp8_bf16_nt`` analogue).
 
     a_q: (m, k) e4m3 with a_scales (m, k/128) f32;
     b_q: (k, n) e4m3 with b_scales (k/128, n/128) f32 — or (k/128, n) if
     ``b_scales_expanded`` (pre-expanded once for static weights).
+    ``b_layout='t'``: B stored (n, k) with b_scales (n/128, k/128) —
+    DeepGEMM's native NT call (K-major weights need no HBM transpose);
+    tiling is cached per layout (op key ``fp8_gemm_nt``).
     ``auto_pad`` lifts ragged n/k into the 128-multiple kernel contract via
     scale-preserving zero padding (tiling/padding.py) and slices the output
     back; without it ragged shapes raise.
+    ``scale_mode='folded'`` requires ``allow_relaxed=True`` (it is outside
+    the strict acceptance gate — see :func:`_check_scale_mode`).
     """
+    _check_scale_mode(scale_mode, allow_relaxed)
+    if b_layout not in ("n", "t"):
+        raise ValueError(f"b_layout must be 'n' or 't', got {b_layout!r}")
+    b_t = b_layout == "t"
+    if b_t and b_scales_expanded:
+        raise ValueError("b_layout='t' requires unexpanded (n/128, k/128) "
+                         "b_scales — the expanded panel layout is "
+                         "kernel-internal")
+    if b_t and auto_pad:
+        raise ValueError("auto_pad supports the 'n' layout only")
+    n_b = b_q.shape[0] if b_t else b_q.shape[1]
     if _exact:
+        if b_t:
+            bse = expand_weight_scales(
+                jnp.swapaxes(b_scales, 0, 1), n_b)
+            b_deq = jnp.swapaxes(_dequant_b(jnp.swapaxes(b_q, 0, 1), bse),
+                                 0, 1)
+            return jax.lax.dot_general(
+                _dequant_a(a_q, a_scales), b_deq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(out_dtype)
         bse = (b_scales if b_scales_expanded
-               else expand_weight_scales(b_scales, b_q.shape[1]))
+               else expand_weight_scales(b_scales, n_b))
         return jnp.dot(_dequant_a(a_q, a_scales), _dequant_b(b_q, bse),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST).astype(out_dtype)
@@ -375,17 +461,25 @@ def fp8_gemm(
             a_q, a_scales, b_q, b_scales)
         out = fp8_gemm(a_q, a_scales, b_q, b_scales, out_dtype=out_dtype,
                        config=config, interpret=interpret,
-                       mxu_dtype=mxu_dtype, scale_mode=scale_mode)
+                       mxu_dtype=mxu_dtype, scale_mode=scale_mode,
+                       allow_relaxed=allow_relaxed)
         return out[:, :n_orig]
     m, k = a_q.shape
-    _, n = b_q.shape
+    n = n_b
+    op = "fp8_gemm_nt" if b_t else "fp8_gemm"
     cfg = selector.select_config(
-        m, n, k, a_q.dtype, out_dtype, op="fp8_gemm", k_granularity=BLOCK,
+        m, n, k, a_q.dtype, out_dtype, op=op, k_granularity=BLOCK,
         override=config)
-    bse = (b_scales if b_scales_expanded
-           else expand_weight_scales(b_scales, n))
+    if b_t:
+        # Scale panel keeps the (kb, n) layout either way: transpose the
+        # tiny (nb, kb) block-scale table, then lane-expand.
+        bse = expand_weight_scales(jnp.swapaxes(b_scales, 0, 1), n)
+    else:
+        bse = (b_scales if b_scales_expanded
+               else expand_weight_scales(b_scales, n))
     return fp8_gemm_with_config(
         a_q, a_scales, b_q, bse, config=cfg, out_dtype=out_dtype,
-        interpret=interpret, mxu_dtype=mxu_dtype, scale_mode=scale_mode)
+        interpret=interpret, mxu_dtype=mxu_dtype, scale_mode=scale_mode,
+        allow_relaxed=allow_relaxed, b_layout=b_layout)
 
 

@@ -49,11 +49,17 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int, k_rem: int, out_dtype):
+def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int, k_rem: int,
+                 out_dtype, a_t: bool = False, b_t: bool = False):
     """One (bm, bk) × (bk, bn) MXU step with fp32 accumulation.
 
     Grid = (m, n, k) with k innermost; ``acc_ref`` is VMEM scratch that
-    persists across the k steps of one output tile.
+    persists across the k steps of one output tile. ``a_t``/``b_t`` flag
+    transposed-in-HBM operands (A stored (k, m) / B stored (n, k)) — the
+    reference dispatches four layout combinations with per-layout tiling
+    (`op_host/op_tiling/do_tiling.h:24-26`, `do_tiling.cpp:20-204`); on TPU
+    the MXU contracts either dim natively via ``dot_general`` dimension
+    numbers, so the layouts share one kernel.
     """
     k = pl.program_id(2)
 
@@ -69,20 +75,30 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int, k_rem: int, out_dtype
         # otherwise contaminate the accumulator even against a zeroed other
         # side (0 × NaN = NaN). ≙ k_o_fix tail math (`get_best_config.hpp:117-125`).
         in_tail = k == nk - 1
-        a_lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-        a = jnp.where(~in_tail | (a_lane < k_rem), a, 0)
-        b_sub = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
-        b = jnp.where(~in_tail | (b_sub < k_rem), b, 0)
-    acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+        a_kdim = 0 if a_t else 1
+        a_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, a_kdim)
+        a = jnp.where(~in_tail | (a_iota < k_rem), a, 0)
+        b_kdim = 1 if b_t else 0
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, b.shape, b_kdim)
+        b = jnp.where(~in_tail | (b_iota < k_rem), b, 0)
+    dims = (((0 if a_t else 1,), (1 if b_t else 0,)), ((), ()))
+    acc_ref[:] += jax.lax.dot_general(a, b, dims,
+                                      preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _store():  # ≙ Fixpipe epilogue (`mmad_jit.cpp:396-411`)
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _check_layout(layout: str) -> tuple[bool, bool]:
+    if len(layout) != 2 or any(c not in "nt" for c in layout):
+        raise ValueError(f"layout must be one of nn/nt/tn/tt, got {layout!r}")
+    return layout[0] == "t", layout[1] == "t"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "out_dtype", "interpret"),
+    static_argnames=("config", "out_dtype", "interpret", "layout"),
 )
 def gemm_with_config(
     a: jax.Array,
@@ -91,6 +107,7 @@ def gemm_with_config(
     config: GemmConfig,
     out_dtype=jnp.float32,
     interpret: Optional[bool] = None,
+    layout: str = "nn",
 ) -> jax.Array:
     """``a @ b`` with an explicit tile config (the autotuner entry point).
 
@@ -98,20 +115,42 @@ def gemm_with_config(
     (`gemm_bench.hpp:49-113`) — but here re-specializing per config is just a
     cached jit compile, so the reference's params-in-GM generic-binary trick
     (`generate_code.hpp:78-121`) is unnecessary.
+
+    ``layout``: two chars for (A, B) — "n" = stored as the logical operand
+    ((m,k) / (k,n) row-major), "t" = stored transposed ((k,m) / (n,k)).
+    ≙ the reference's 4-way layout dispatch (`do_tiling.h:24-26`); the
+    kernel contracts either dim via dot_general, no HBM transpose.
     """
+    a_t, b_t = _check_layout(layout)
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"gemm expects 2-D operands, got {a.shape} @ {b.shape}")
-    m, k = a.shape
-    k2, n = b.shape
+    m, k = (a.shape[1], a.shape[0]) if a_t else a.shape
+    k2, n = (b.shape[1], b.shape[0]) if b_t else b.shape
     if k != k2:
-        raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
+        raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape} "
+                         f"(layout {layout})")
     if interpret is None:
         interpret = _interpret_default()
 
-    bm = min(config.block_m, round_up(m, _sublane(a.dtype)))
-    bn = min(config.block_n, round_up(n, 128))
+    sub_a = _sublane(a.dtype)
+    sub_b = _sublane(b.dtype)
+    if a_t:
+        # A block is (bk, bm): bm sits in the lane dim → multiple of 128
+        # or the full (ragged) m extent.
+        bm = min(config.block_m, m if m % 128 else round_up(m, 128))
+        if m % 128 == 0 and bm % 128:
+            bm = round_up(bm, 128)
+        elif m % 128:
+            bm = m
+    else:
+        bm = min(config.block_m, round_up(m, sub_a))
+    if b_t:
+        # B block is (bn, bk): bn in the sublane dim, bk in the lane dim.
+        bn = min(config.block_n, round_up(n, sub_b))
+    else:
+        bn = min(config.block_n, round_up(n, 128))
     bk = min(config.block_k, round_up(k, 128))
-    if config.pad_k and k % bk:
+    if config.pad_k and k % bk and layout == "nn":
         # Pre-pad K in HBM instead of masking the tail on every grid step —
         # the padding cost model's PAD_K decision (tiling/padding.py,
         # ≙ the reference's explicit padding family `select_kernel.cpp:353-364`).
@@ -121,21 +160,25 @@ def gemm_with_config(
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
     k_rem = k - (nk - 1) * bk if k % bk else 0
 
-    if config.kernel_type == KernelType.KSPLIT and config.k_split > 1 and nk >= config.k_split:
+    if (config.kernel_type == KernelType.KSPLIT and config.k_split > 1
+            and nk >= config.k_split and layout == "nn"):
         return _gemm_ksplit(a, b, bm, bn, bk, config.k_split, out_dtype, interpret)
 
-    kernel = functools.partial(_gemm_kernel, nk=nk, k_rem=k_rem, out_dtype=out_dtype)
+    kernel = functools.partial(_gemm_kernel, nk=nk, k_rem=k_rem,
+                               out_dtype=out_dtype, a_t=a_t, b_t=b_t)
 
+    a_idx = (lambda i, kk: (kk, i)) if a_t else (lambda i, kk: (i, kk))
+    b_idx = (lambda j, kk: (j, kk)) if b_t else (lambda j, kk: (kk, j))
     n_major = config.swizzle == SwizzleDir.N_MAJOR
     if n_major:
         grid = (nn, nm, nk)
-        a_map = lambda j, i, kk: (i, kk)
-        b_map = lambda j, i, kk: (kk, j)
+        a_map = lambda j, i, kk: a_idx(i, kk)
+        b_map = lambda j, i, kk: b_idx(j, kk)
         o_map = lambda j, i, kk: (i, j)
     else:
         grid = (nm, nn, nk)
-        a_map = lambda i, j, kk: (i, kk)
-        b_map = lambda i, j, kk: (kk, j)
+        a_map = lambda i, j, kk: a_idx(i, kk)
+        b_map = lambda i, j, kk: b_idx(j, kk)
         o_map = lambda i, j, kk: (i, j)
 
     params = {}
@@ -152,8 +195,8 @@ def gemm_with_config(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), a_map),
-            pl.BlockSpec((bk, bn), b_map),
+            pl.BlockSpec((bk, bm) if a_t else (bm, bk), a_map),
+            pl.BlockSpec((bn, bk) if b_t else (bk, bn), b_map),
         ],
         out_specs=pl.BlockSpec((bm, bn), o_map),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -246,22 +289,27 @@ def gemm(
     out_dtype=jnp.float32,
     config: Optional[GemmConfig] = None,
     interpret: Optional[bool] = None,
+    layout: str = "nn",
 ) -> jax.Array:
     """Dense ``a @ b`` with automatic tile selection (cache → analytic).
 
     The public analogue of ``deep_gemm_ascend.run_mmad_rtc``
     (`framework/csrc/python_api.cpp:30-36`, flow §3.1 of SURVEY.md), with the
     shape-specialized compile handled by ``jax.jit`` + the XLA compilation
-    cache instead of string codegen + cmake.
+    cache instead of string codegen + cmake. ``layout`` selects operand
+    storage (nn/nt/tn/tt — ≙ `do_tiling.h:24-26`); non-nn layouts key the
+    tiling cache separately (per-layout tiling, like the reference).
     """
+    a_t, b_t = _check_layout(layout)
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"gemm expects 2-D operands, got {a.shape} @ {b.shape}")
-    m, k = a.shape
-    _, n = b.shape
-    cfg = selector.select_config(m, n, k, a.dtype, out_dtype, op="gemm",
+    m, k = (a.shape[1], a.shape[0]) if a_t else a.shape
+    n = b.shape[0] if b_t else b.shape[1]
+    op = "gemm" if layout == "nn" else f"gemm_{layout}"
+    cfg = selector.select_config(m, n, k, a.dtype, out_dtype, op=op,
                                  override=config)
     return gemm_with_config(a, b, config=cfg, out_dtype=out_dtype,
-                            interpret=interpret)
+                            interpret=interpret, layout=layout)
 
 
 def bgemm(

@@ -22,7 +22,7 @@ parallelism is an extension axis, not needed at this model scale.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,15 +53,31 @@ def _fp8_linear_spec(row=None, col=None):
     return Fp8Linear(w_q=P(row, col), scales_exp=P(row, col))
 
 
-def param_specs(params: ModelParams, cfg: ModelConfig) -> ModelParams:
+def tp_kv_sharding(mesh: Mesh, cfg: ModelConfig) -> bool:
+    """True when kv heads can shard congruently with the q-head shards:
+    kv_heads % tp == 0 AND the per-shard kv projection keeps the fp8
+    kernel's 128-lane contract. When true, wk/wv and the KV cache shard on
+    the kv-head dim and the fused flash-decode kernel stays eligible under
+    tp > 1 (models/attention.py congruent regime)."""
+    tp = mesh.shape["model"]
+    return (tp > 1 and cfg.num_kv_heads % tp == 0
+            and (cfg.kv_dim // tp) % 128 == 0)
+
+
+def param_specs(params: ModelParams, cfg: ModelConfig,
+                tp_kv: bool = False) -> ModelParams:
     """PartitionSpec pytree mirroring the params structure."""
+    kv_spec = (_fp8_linear_spec(None, "model") if tp_kv
+               else _fp8_linear_spec())
     layer_specs = []
     for layer in params.layers:
         attn_spec = dataclasses.replace(
             layer.attn,
             wq=_fp8_linear_spec(None, "model"),
-            wk=_fp8_linear_spec(),     # replicated (small kv_dim)
-            wv=_fp8_linear_spec(),
+            # kv-head sharded when congruent (tp_kv); replicated otherwise
+            # (GQA kv_dim too small to split under the 128-lane contract).
+            wk=kv_spec,
+            wv=kv_spec,
             wo=_fp8_linear_spec("model", None),
         )
         if isinstance(layer.ffn, MoEParams):
@@ -85,21 +101,29 @@ def param_specs(params: ModelParams, cfg: ModelConfig) -> ModelParams:
                        lm_head=P(None, "model"))
 
 
-def cache_specs(caches: List[KVCache]) -> List[KVCache]:
-    spec = KVCache(k_q=P("data"), k_s=P("data"), v_q=P("data"), v_s=P("data"))
+def cache_specs(caches: List[KVCache], tp_kv: bool = False) -> List[KVCache]:
+    kv_ax = "model" if tp_kv else None
+    spec = KVCache(k_q=P("data", kv_ax), k_s=P("data", kv_ax),
+                   v_q=P("data", kv_ax), v_s=P("data", kv_ax))
     return [spec for _ in caches]
 
 
 def shard_params(mesh: Mesh, params: ModelParams,
                  cfg: ModelConfig) -> ModelParams:
-    specs = param_specs(params, cfg)
+    specs = param_specs(params, cfg, tp_kv=tp_kv_sharding(mesh, cfg))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def shard_caches(mesh: Mesh, caches: List[KVCache]) -> List[KVCache]:
+def shard_caches(mesh: Mesh, caches: List[KVCache],
+                 cfg: Optional[ModelConfig] = None) -> List[KVCache]:
+    """Shard KV caches on batch — and on the kv-head dim too when the mesh/
+    model support congruent kv sharding (pass ``cfg`` to enable)."""
+    tp_kv = tp_kv_sharding(mesh, cfg) if cfg is not None else False
+    specs = cache_specs(caches, tp_kv=tp_kv)
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), caches)
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        caches, specs)
 
 
 def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
@@ -117,6 +141,7 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
         raise ValueError(f"num_experts {cfg.num_experts} % ep {ep} != 0")
     local_heads = cfg.num_heads // tp
     local_experts = cfg.num_experts // ep
+    tp_kv = tp_kv_sharding(mesh, cfg)
 
     def local_forward(params, tokens, caches, seq_lens):
         b = tokens.shape[0]
@@ -131,6 +156,14 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
                 # deployment); psum over a size-1 "model" axis is a no-op.
                 attn_out, cache = attention(
                     layer.attn, h, cache, positions, seq_lens + 1, cfg)
+            elif tp_kv:
+                # Congruent kv-head sharding: the local cache block carries
+                # kv_heads/tp heads, attention() infers the regime from its
+                # shape, and the fused flash-decode kernel runs per shard
+                # (no head_offset — kv indexing is shard-local).
+                attn_out, cache = attention(
+                    layer.attn, h, cache, positions, seq_lens + 1, cfg,
+                    tp_heads=local_heads, axis_name="model")
             else:
                 attn_out, cache = attention(
                     layer.attn, h, cache, positions, seq_lens + 1, cfg,
@@ -156,15 +189,16 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
                                     tiled=True)
         return logits, new_caches
 
-    specs_p = param_specs(params, cfg)
+    specs_p = param_specs(params, cfg, tp_kv=tp_kv)
+    kv_ax = "model" if tp_kv else None
+    cspec = KVCache(P("data", kv_ax), P("data", kv_ax),
+                    P("data", kv_ax), P("data", kv_ax))
     fn = shard_map(
         local_forward, mesh,
         in_specs=(specs_p, P("data"),
-                  [KVCache(P("data"), P("data"), P("data"), P("data"))
-                   for _ in range(cfg.num_layers)], P("data")),
+                  [cspec for _ in range(cfg.num_layers)], P("data")),
         out_specs=(P("data", None),
-                   [KVCache(P("data"), P("data"), P("data"), P("data"))
-                    for _ in range(cfg.num_layers)]),
+                   [cspec for _ in range(cfg.num_layers)]),
     )
     # Donate the KV caches — without it every step holds two full copies
     # of the multi-layer int8 cache per shard and re-writes it wholesale.

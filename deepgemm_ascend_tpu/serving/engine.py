@@ -109,7 +109,7 @@ class Engine:
                                     shard_params)
             self.params = shard_params(mesh, params, cfg)
             self.caches = shard_caches(
-                mesh, init_cache(cfg, max_slots, self.max_seq_len))
+                mesh, init_cache(cfg, max_slots, self.max_seq_len), cfg)
             self._decode = make_sharded_decode_step(mesh, cfg, params)
         else:
             self.params = params
@@ -261,8 +261,12 @@ class Engine:
                 bucket = _bucket(len(adm.prompt))
                 if bucket > self.max_seq_len:
                     # pow2 bucket overshoots the cache: round to the flash
-                    # prefill granularity instead of wasting up to 2x work
-                    bucket = -(-len(adm.prompt) // 16) * 16
+                    # prefill granularity instead of wasting up to 2x work —
+                    # clamped to the cache extent so padded-token K/V rows
+                    # can never scatter past max_seq_len (XLA would clamp
+                    # them onto the last cache row).
+                    bucket = min(-(-len(adm.prompt) // 16) * 16,
+                                 self.max_seq_len)
                 toks = np.zeros((bucket,), np.int32)
                 toks[:len(adm.prompt)] = adm.prompt
                 prefill = self._prefill_fn(bucket)

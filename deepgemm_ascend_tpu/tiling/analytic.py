@@ -164,7 +164,7 @@ def enumerate_candidates(
     """
     sub_a = plat._SUBLANES.get(a_itemsize, 8)
     bm_caps = (16, 32, 64, 128, 256, 512, 1024)
-    bn_caps = (128, 256, 512, 1024, 2048)
+    bn_caps = (128, 256, 384, 512, 768, 1024, 2048)
     bk_caps = (128, 256, 512, 1024, 2048, 4096)
     hi_m = round_up(m, sub_a)
     bms = {c for c in bm_caps if c % sub_a == 0 and c <= max(hi_m, 128)}
@@ -172,9 +172,18 @@ def enumerate_candidates(
         bms.add(hi_m)  # exact skinny-M tile (decode GEMMs: m = 8, 64, …)
     bms = sorted(bms) or [sub_a]
     bns = _aligned_candidates(n, info.lane, bn_caps)
-    bks = [c for c in bk_caps if c % k_granularity == 0 and c <= round_up(k, k_granularity)]
-    if not bks:
-        bks = [round_up(k, k_granularity)]
+    k_pad = round_up(k, k_granularity)
+    bks = {c for c in bk_caps if c % k_granularity == 0 and c <= k_pad}
+    # Full-K and half/quarter-K blocks for ANY K (not just power-of-two
+    # caps): block_k == K makes nk == 1, which on the fp8 path selects the
+    # static-scale-slice kernel (ops/fp8_gemm.py — measured 175 vs 162 TF/s
+    # at 4096³); DeepSeek K values (7168, 18432, 16384) are not in the cap
+    # table, so without this the fast path was unreachable for them.
+    for frac in (1, 2, 4):
+        cand = round_up(ceil_div(k_pad, frac), k_granularity)
+        if cand >= k_granularity:
+            bks.add(cand)
+    bks = sorted(bks) or [k_pad]
     out = []
     for bm in bms:
         for bn in bns:

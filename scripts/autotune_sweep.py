@@ -24,7 +24,14 @@ def main(argv=None) -> int:
     ap.add_argument("--suite", default="reference",
                     choices=["reference", "dynamic", "headline", "grouped"])
     ap.add_argument("--op", default="fp8_gemm",
-                    choices=["gemm", "fp8_gemm", "grouped_gemm_masked"])
+                    choices=["gemm", "fp8_gemm", "fp8_gemm_nt",
+                             "grouped_gemm_masked",
+                             "grouped_gemm_contiguous"])
+    ap.add_argument("--inject-ksplit", action="store_true",
+                    help="add KSPLIT (split-K) variants of the top analytic "
+                         "candidates to the dense-gemm sweep — on-chip "
+                         "evidence for/against split-K on this part "
+                         "(reference stream-K family, select_kernel.cpp:303-331)")
     ap.add_argument("--out-dir", default="autotune_results")
     ap.add_argument("--cache", default=None,
                     help="persistent tiling cache path (default: "
@@ -62,9 +69,10 @@ def main(argv=None) -> int:
     from deepgemm_ascend_tpu.utils import golden
     from deepgemm_ascend_tpu.utils.common import round_up
 
+    grouped_ops = ("grouped_gemm_masked", "grouped_gemm_contiguous")
     if args.shapes:
         flat = args.shapes
-        width = 4 if args.op == "grouped_gemm_masked" else 3
+        width = 4 if args.op in grouped_ops else 3
         suite = [tuple(flat[i:i + width]) for i in range(0, len(flat), width)]
     else:
         suite = {"reference": shape_suites.REFERENCE_SUITE,
@@ -78,6 +86,53 @@ def main(argv=None) -> int:
                                                    "tilings.jsonl"))
 
     for shape in suite:
+        if args.op == "grouped_gemm_contiguous":
+            # (E, M_per_expert, N, K) — BASELINE config 3 (MoE prefill).
+            # Runtime cache key: op="grouped_gemm", m = the layout block_m
+            # (ops/grouped_gemm.py:221-224), so the sweep fixes block_m to
+            # M_per_expert and searches bn/bk only.
+            from deepgemm_ascend_tpu.ops import grouped_gemm as gg
+            from deepgemm_ascend_tpu.tiling import analytic, platform as plat
+            from deepgemm_ascend_tpu.config import GemmConfig
+            e, m_per, n, k = shape
+            m_total = e * m_per
+            a = golden.gen_heavy_tail((m_total, k), seed=0)
+            b = golden.gen_heavy_tail((e, k, n), seed=1)
+            a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+            b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
+            bse = jnp.repeat(b_s, quant.BLOCK, axis=2)[:, :, :n]
+            tile_ids = jnp.arange(e, dtype=jnp.int32)
+
+            info = plat.detect()
+            triples = analytic.enumerate_candidates(
+                m_per, n, k, 1, 1, 2, info, quant.BLOCK)
+            cands = sorted({(m_per, bn, bk) for _, bn, bk in triples})
+            cands = [GemmConfig(bm, bn, bk) for bm, bn, bk in cands]
+
+            def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, bse=bse,
+                        tile_ids=tile_ids):
+                f = lambda aq, asc, bq, bs: gg.m_grouped_gemm_contiguous(
+                    aq, asc, bq, bs, tile_ids, config=cfg,
+                    b_scales_expanded=True)
+                t = timing.time_gemm_like(f, a_q, a_s, b_q, bse,
+                                          iters=args.iters, repeats=2,
+                                          min_chain_seconds=args.min_chain)
+                return t.seconds
+
+            tag = f"{args.op}_{e}x{m_per}x{n}x{k}_r{args.rank}"
+            tuner = autotune.Autotuner(
+                None, time_fn, op="grouped_gemm",
+                results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
+                checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
+                cache=cache, rank=args.rank, world=args.world,
+                retry_failed=args.retry_poisoned)
+            win = tuner.sweep_shape(
+                m_per, n, k, candidates=cands,
+                in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
+                max_candidates=args.max_candidates, verbose=True,
+                flops_scale=e)
+            print(f"[DGA-TPU] contiguous E{e} {m_per}x{n}x{k} winner: {win}")
+            continue
         if args.op == "grouped_gemm_masked":
             # (E, M_max, N, K) — BASELINE configs 3-4 (MoE prefill/decode).
             from deepgemm_ascend_tpu.ops import grouped_gemm as gg
@@ -120,7 +175,27 @@ def main(argv=None) -> int:
             print(f"[DGA-TPU] grouped E{e} {m}x{n}x{k} winner: {win}")
             continue
         m, n, k = shape
-        if args.op == "fp8_gemm":
+        candidates = None
+        if args.op == "fp8_gemm_nt":
+            # DeepGEMM's native NT layout: B stored (n, k) with
+            # (n/128, k/128) scales; tiling cached under op=fp8_gemm_nt.
+            n2, k2 = round_up(n, 128), round_up(k, 128)
+            a = golden.gen_heavy_tail((m, k2), seed=0)
+            bt = golden.gen_heavy_tail((n2, k2), seed=1)
+            a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+            bt_q, bt_s = quant.quantize_fp8_weight(jnp.asarray(bt))
+            bse = fp8mod.expand_weight_scales(jnp.swapaxes(bt_s, 0, 1), n2)
+
+            def time_fn(cfg, a_q=a_q, a_s=a_s, bt_q=bt_q, bse=bse):
+                f = lambda aq, asc, bq, bs: fp8mod.fp8_gemm_with_config(
+                    aq, asc, bq, bs, config=cfg, b_layout="t")
+                t = timing.time_gemm_like(f, a_q, a_s, bt_q, bse,
+                                          iters=args.iters, repeats=2,
+                                          min_chain_seconds=args.min_chain)
+                return t.seconds
+
+            in_dtype, m2 = jnp.float8_e4m3fn, m
+        elif args.op == "fp8_gemm":
             # fp8 contract: n, k multiples of 128 — pad the sweep shape.
             n2, k2 = round_up(n, 128), round_up(k, 128)
             a = golden.gen_heavy_tail((m, k2), seed=0)
@@ -152,6 +227,30 @@ def main(argv=None) -> int:
                 return t.seconds
 
             in_dtype, m2, n2, k2 = jnp.bfloat16, m, n, k
+            if args.inject_ksplit:
+                # Split-K evidence run: append KSPLIT variants of the top
+                # analytic candidates so the sweep records on-chip numbers
+                # for the family (v5e has ONE sequential TensorCore —
+                # expectation is that split-K only adds reduce traffic; this
+                # sweep turns that expectation into jsonl evidence).
+                from deepgemm_ascend_tpu.config import (GemmConfig,
+                                                        KernelType)
+                from deepgemm_ascend_tpu.tiling import (analytic,
+                                                        platform as plat)
+                info = plat.detect()
+                triples = analytic.enumerate_candidates(m, n, k, 2, 2, 4,
+                                                        info, 128)
+                triples.sort(key=lambda t: analytic.estimate_time(
+                    m, n, k, *t, 2, 2, 4, info, jnp.bfloat16).time_s)
+                candidates = [GemmConfig(bm, bn, bk)
+                              for bm, bn, bk in triples[:6]]
+                for bm, bn, bk in triples[:3]:
+                    for s in (2, 4, 8):
+                        from deepgemm_ascend_tpu.utils.common import ceil_div
+                        if ceil_div(k, bk) >= s:
+                            candidates.append(GemmConfig(
+                                bm, bn, bk, kernel_type=KernelType.KSPLIT,
+                                k_split=s))
 
         tag = f"{args.op}_{m}x{n}x{k}_r{args.rank}"
         tuner = autotune.Autotuner(
@@ -161,9 +260,15 @@ def main(argv=None) -> int:
             cache=cache, rank=args.rank, world=args.world,
                 retry_failed=args.retry_poisoned)
         win = tuner.sweep_shape(
-            m2, n2, k2, in_dtype=in_dtype,
-            out_dtype=jnp.bfloat16 if args.op == "fp8_gemm" else jnp.float32,
-            max_candidates=args.max_candidates, verbose=True)
+            m2, n2, k2, in_dtype=in_dtype, candidates=candidates,
+            out_dtype=(jnp.bfloat16 if args.op.startswith("fp8_gemm")
+                       else jnp.float32),
+            # The ksplit-evidence list is hand-ordered — don't let the
+            # analytic re-sort (which can't price the reduce epilogue)
+            # truncate it.
+            max_candidates=(None if candidates is not None
+                            else args.max_candidates),
+            verbose=True)
         print(f"[DGA-TPU] {m}x{n}x{k} winner: {win}")
     return 0
 

@@ -115,6 +115,77 @@ def test_decode_step_flash_vs_xla_fallback():
     assert verify.relative_l2_error(lf, lx) < 0.15
 
 
+def test_flash_inplace_matches_write_then_attend():
+    """Direct unit test of the fused cache-writing kernel: its aliased
+    writeback (int8 value tiles AND f32 scale slabs) must equal
+    KVCache.write_quantized + flash_decode_gqa on the same inputs — the
+    cache arrays EXACTLY, the attention output to kernel tolerance."""
+    from deepgemm_ascend_tpu.ops.flash_decode import flash_decode_gqa_inplace
+    rng = np.random.default_rng(7)
+    b, heads, kvh, s_max, hd = 3, 4, 2, 256, 64
+    k_q, k_s, v_q, v_s = _mk_cache(rng, b, kvh, s_max, hd)
+    q = jnp.asarray(rng.normal(size=(b, heads, hd)), jnp.float32)
+    # lens INCLUDE the new token: mid-block, block-boundary, first-token.
+    lens = jnp.asarray([100, 128, 1], jnp.int32)
+    k_new = rng.normal(size=(b, kvh, hd)).astype(np.float32)
+    v_new = rng.normal(size=(b, kvh, hd)).astype(np.float32)
+    kq_new, ks_new = quant.quantize_int8(jnp.asarray(k_new)[:, None], axis=-1)
+    vq_new, vs_new = quant.quantize_int8(jnp.asarray(v_new)[:, None], axis=-1)
+
+    out, kq2, vq2, ks2, vs2 = flash_decode_gqa_inplace(
+        q, k_q, k_s, v_q, v_s,
+        kq_new[:, 0], vq_new[:, 0], ks_new[:, 0, :, 0], vs_new[:, 0, :, 0],
+        lens, block_s=128, interpret=True)
+
+    # Reference: scatter via the KVCache path, then attend the full cache.
+    cache = KVCache(k_q=k_q, k_s=k_s, v_q=v_q, v_s=v_s)
+    positions = (lens - 1)[:, None]
+    # write_quantized expects (b, s, kvh, …) layout.
+    ref = cache.write_quantized(
+        jnp.transpose(kq_new, (0, 1, 2, 3)).reshape(b, 1, kvh, hd),
+        ks_new.reshape(b, 1, kvh, 1), vq_new.reshape(b, 1, kvh, hd),
+        vs_new.reshape(b, 1, kvh, 1), positions)
+    np.testing.assert_array_equal(np.asarray(kq2), np.asarray(ref.k_q))
+    np.testing.assert_array_equal(np.asarray(vq2), np.asarray(ref.v_q))
+    np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ref.k_s))
+    np.testing.assert_array_equal(np.asarray(vs2), np.asarray(ref.v_s))
+
+    want = np.asarray(flash_decode_gqa(q, ref.k_q, ref.k_s, ref.v_q,
+                                       ref.v_s, lens, block_s=128,
+                                       interpret=True))
+    res = verify.verify(np.asarray(out, np.float32), want.astype(np.float32),
+                        rtol=2e-2, atol=2e-2, max_ratio=1e-3)
+    assert res.ok, res
+
+
+def test_flash_inplace_full_slot_overflow_clamped():
+    """A slot whose length already equals S (the engine decodes freed/full
+    slots too, passing lens+1 = S+1) must not corrupt OTHER slots' cache
+    rows — the wrapper clamps seq_lens to the cache extent."""
+    from deepgemm_ascend_tpu.ops.flash_decode import flash_decode_gqa_inplace
+    rng = np.random.default_rng(8)
+    b, heads, kvh, s_max, hd = 2, 4, 2, 128, 64
+    k_q, k_s, v_q, v_s = _mk_cache(rng, b, kvh, s_max, hd)
+    q = jnp.asarray(rng.normal(size=(b, heads, hd)), jnp.float32)
+    lens = jnp.asarray([s_max + 1, 50], jnp.int32)   # slot 0 overflows
+    zq = jnp.zeros((b, kvh, hd), jnp.int8)
+    zs = jnp.zeros((b, kvh), jnp.float32)
+    out, kq2, vq2, ks2, vs2 = flash_decode_gqa_inplace(
+        q, k_q, k_s, v_q, v_s, zq, zq, zs, zs, lens,
+        block_s=128, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # Slot 1's write landed at its own pos (49) — rows elsewhere untouched.
+    np.testing.assert_array_equal(np.asarray(kq2[1, :, :49]),
+                                  np.asarray(k_q[1, :, :49]))
+    np.testing.assert_array_equal(np.asarray(kq2[1, :, 49]),
+                                  np.zeros((kvh, hd), np.int8))
+    np.testing.assert_array_equal(np.asarray(kq2[1, :, 50:]),
+                                  np.asarray(k_q[1, :, 50:]))
+    # Slot 0 (clamped to pos = S-1): only its last row may change.
+    np.testing.assert_array_equal(np.asarray(kq2[0, :, :s_max - 1]),
+                                  np.asarray(k_q[0, :, :s_max - 1]))
+
+
 def test_flash_rejects_bad_heads():
     q = jnp.zeros((1, 5, 64))
     k = jnp.zeros((1, 2, 32, 64), jnp.int8)

@@ -120,8 +120,36 @@ def test_fp8_gemm_folded_mode_close_to_accum():
                                      out_dtype=jnp.float32), np.float32)
     fold = np.asarray(fp8mod.fp8_gemm(a_q, a_s, b_q, b_s,
                                       out_dtype=jnp.float32,
-                                      scale_mode="folded"), np.float32)
+                                      scale_mode="folded",
+                                      allow_relaxed=True), np.float32)
     assert verify.relative_l2_error(fold, acc) < 5e-3
+
+
+def test_fp8_gemm_folded_requires_opt_in():
+    """folded mode is outside the strict outlier-ratio gate — it must raise
+    unless the caller explicitly accepts the relaxed numerics contract."""
+    m, n, k = 32, 128, 256
+    a_q, a_s, b_q, b_s = _mk(m, n, k, seed=41)
+    with pytest.raises(ValueError, match="allow_relaxed"):
+        fp8mod.fp8_gemm(a_q, a_s, b_q, b_s, scale_mode="folded")
+
+
+@pytest.mark.parametrize("cfg", [
+    None,                                        # selector (nk==1 fast path)
+    GemmConfig(block_m=64, block_n=128, block_k=256),   # multi-K accum path
+])
+def test_fp8_gemm_accum_passes_strict_gate(cfg):
+    """Every selectable scale mode (accum, both kernel variants) must pass
+    the reference-form acceptance gate — outlier ratio <= 1e-4 vs the
+    emulated-dequant golden on heavy-tail data (`framework/tests/test.py:19-21`)."""
+    m, n, k = 128, 256, 512
+    a_q, a_s, b_q, b_s = _mk(m, n, k, seed=43)
+    got = np.asarray(fp8mod.fp8_gemm(a_q, a_s, b_q, b_s, config=cfg,
+                                     out_dtype=jnp.float32), np.float32)
+    want = np.asarray(reference.fp8_gemm_reference(a_q, a_s, b_q, b_s),
+                      np.float32)
+    res = verify.verify(got, want, rtol=2e-2, atol=1e-4, max_ratio=1e-4)
+    assert res.ok, res
 
 
 def test_fp8_gemm_folded_ragged_block_k():
@@ -132,7 +160,8 @@ def test_fp8_gemm_folded_ragged_block_k():
                                      out_dtype=jnp.float32), np.float32)
     fold = np.asarray(fp8mod.fp8_gemm(a_q, a_s, b_q, b_s, config=cfg,
                                       out_dtype=jnp.float32,
-                                      scale_mode="folded"), np.float32)
+                                      scale_mode="folded",
+                                      allow_relaxed=True), np.float32)
     assert not np.isnan(fold).any()
     assert verify.relative_l2_error(fold, acc) < 5e-3
 
@@ -175,3 +204,57 @@ def test_exact_mode_grouped_masked_matches_kernel():
             assert verify.relative_l2_error(
                 exact[ei, :mm], kern[ei, :mm]) < 1e-5
     assert np.all(exact[1, 7:] == 0) and np.all(exact[2] == 0)
+
+
+# ---- NT layout (DeepGEMM's native convention: B stored (n, k)) ----
+
+@pytest.mark.parametrize("m,n,k", [
+    (128, 256, 384),
+    (64, 512, 896),
+    (100, 128, 256),      # ragged M
+])
+def test_fp8_gemm_nt_vs_dequant_golden(m, n, k):
+    """b_layout='t': B (n, k) e4m3 with (n/128, k/128) scales must match
+    the nn-layout kernel on the logically-identical problem, and pass the
+    strict gate vs the emulated-dequant golden."""
+    a_q, a_s, b_q, b_s = _mk(m, n, k, seed=m + 2 * n)
+    # Build the NT operands from the same logical B.
+    b_q_t = jnp.asarray(b_q.T)           # (n, k)
+    b_s_t = jnp.asarray(b_s.T)           # (n/128, k/128)
+    got = np.asarray(fp8mod.fp8_gemm(a_q, a_s, b_q_t, b_s_t, b_layout="t",
+                                     out_dtype=jnp.float32), np.float32)
+    want = np.asarray(reference.fp8_gemm_reference(a_q, a_s, b_q, b_s),
+                      np.float32)
+    res = verify.verify(got, want, rtol=2e-2, atol=1e-4, max_ratio=1e-4)
+    assert res.ok, res
+
+
+def test_fp8_gemm_nt_multistep_and_folded():
+    """NT with an explicit multi-K-step config (accum one-hot path) and the
+    folded path (opt-in) both reproduce their nn twins."""
+    m, n, k = 64, 256, 512
+    a_q, a_s, b_q, b_s = _mk(m, n, k, seed=77)
+    b_q_t = jnp.asarray(b_q.T)
+    b_s_t = jnp.asarray(b_s.T)
+    cfg = GemmConfig(block_m=64, block_n=128, block_k=256)
+    for mode in ("accum", "folded"):
+        nn = np.asarray(fp8mod.fp8_gemm(
+            a_q, a_s, b_q, b_s, config=cfg, out_dtype=jnp.float32,
+            scale_mode=mode, allow_relaxed=True), np.float32)
+        nt = np.asarray(fp8mod.fp8_gemm(
+            a_q, a_s, b_q_t, b_s_t, config=cfg, out_dtype=jnp.float32,
+            scale_mode=mode, allow_relaxed=True, b_layout="t"), np.float32)
+        assert verify.relative_l2_error(nt, nn) < 1e-6, mode
+
+
+def test_fp8_gemm_nt_exact_mode():
+    m, n, k = 32, 128, 256
+    a_q, a_s, b_q, b_s = _mk(m, n, k, seed=88)
+    with fp8mod.exact_mode():
+        nt = np.asarray(fp8mod.fp8_gemm(
+            a_q, a_s, jnp.asarray(b_q.T),
+            jnp.asarray(b_s.T), b_layout="t",
+            out_dtype=jnp.float32), np.float32)
+    want = np.asarray(reference.fp8_gemm_reference(a_q, a_s, b_q, b_s),
+                      np.float32)
+    assert verify.relative_l2_error(nt, want) < 1e-5

@@ -133,3 +133,42 @@ def test_gemm_shape_errors():
     b = jnp.zeros((9, 4))
     with pytest.raises(ValueError):
         dga.gemm(a, b)
+
+
+# ---- operand layouts (nt / tn / tt) ----
+# ≙ the reference's 4-way layout dispatch (`do_tiling.h:24-26`,
+# `do_tiling.cpp:20-204`): the kernel contracts either dim via dot_general
+# dimension numbers instead of transposing in HBM.
+
+@pytest.mark.parametrize("layout", ["nt", "tn", "tt"])
+@pytest.mark.parametrize("m,n,k", [
+    (128, 256, 384),
+    (64, 128, 736),       # ragged K tail
+    (100, 130, 128),      # ragged M/N (lane-dim full-extent blocks)
+])
+def test_gemm_layouts_vs_golden(layout, m, n, k):
+    a, b, _ = golden.gen_golden_gemm(m, n, k, seed=m + n + k)
+    a_bf = jnp.asarray(a, jnp.bfloat16)
+    b_bf = jnp.asarray(b, jnp.bfloat16)
+    a_in = a_bf.T if layout[0] == "t" else a_bf
+    b_in = b_bf.T if layout[1] == "t" else b_bf
+    out = dga.gemm(jnp.asarray(a_in), jnp.asarray(b_in),
+                   layout=layout)
+    ref = _golden_bf16(a, b)
+    res = verify.verify(np.asarray(out), ref, rtol=2e-2, atol=1e-2,
+                        max_ratio=1e-4, name=f"gemm_{layout}_{m}x{n}x{k}")
+    assert res.ok, res
+
+
+def test_gemm_layout_rejects_bad_string():
+    a = jnp.zeros((16, 32), jnp.bfloat16)
+    b = jnp.zeros((32, 16), jnp.bfloat16)
+    with pytest.raises(ValueError):
+        dga.gemm(a, b, layout="xy")
+
+
+def test_gemm_layout_mismatched_inner_dims():
+    a = jnp.zeros((16, 32), jnp.bfloat16)
+    b = jnp.zeros((48, 16), jnp.bfloat16)   # (n, k): k=16 != 32
+    with pytest.raises(ValueError):
+        dga.gemm(a, b, layout="nt")

