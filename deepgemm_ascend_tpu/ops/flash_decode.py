@@ -327,8 +327,16 @@ def _kernel_inplace(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         # blocks at si == ns-1 are the clamped (pos-containing) ones;
         # slice the REFS at provably tile-aligned offsets (value-level
         # dynamic_slice has no Mosaic lowering).
-        off = pl.multiple_of(
-            (jax.lax.rem(pos, block_s) // tile) * tile, tile)
+        # tile == block_s ⇒ the offset is identically 0; make that STATIC.
+        # (Mosaic only accepts dynamic lane-dim slice starts it can prove
+        # are 128-aligned — with tile < 128, e.g. small test caches where
+        # S % 128 != 0, the traced `rem//tile*tile` form is rejected even
+        # though its value is 0. Caught by the v5e:2x4 topology AOT compile.)
+        if tile == block_s:
+            off = 0
+        else:
+            off = pl.multiple_of(
+                (jax.lax.rem(pos, block_s) // tile) * tile, tile)
         last = jnp.maximum(pl.cdiv(seq_len, block_s) - 1, 0)
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, kn_ref.shape[-1]), 0)
         t = last * block_s + off + row

@@ -29,9 +29,21 @@ AXES = ("data", "expert", "model")
 
 def init_distributed() -> None:
     """Multi-host init (no-op single-host). ≙ torch.npu.set_device(rank)
-    process pinning (`bench_sub.py:90`), but for a real collective runtime."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    process pinning (`bench_sub.py:90`), but for a real collective runtime.
+
+    Gated on ``JAX_COORDINATOR_ADDRESS``; when ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` are also set they are passed explicitly (generic
+    hosts — e.g. the 2-process CPU smoke test, tests/test_distributed.py);
+    otherwise jax's cluster auto-detection runs (TPU pods)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kw = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw = dict(coordinator_address=addr,
+                  num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                  process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kw)
 
 
 def make_mesh(

@@ -187,53 +187,33 @@ class Engine:
         return prefill
 
     def _mesh_prefill_fn(self, bucket: int):
-        """Jitted per-bucket: scan the padded prompt through the sharded
-        decode step in ONE dispatch (the token-by-token host loop costs one
-        dispatch round-trip per prompt token). Steps at/after ``true_len``
-        keep rewriting the same cache row (lens frozen), which the first
-        real decode overwrites — identical semantics, bucket-static shape."""
+        """Jitted per-bucket: one-dispatch sharded prefill under shard_map
+        (parallel/sharded.py make_sharded_prefill_step) — runs the flash
+        prefill kernel per shard. Replaces the round-1 token-at-a-time scan
+        through the decode step (one full MoE decode per prompt token)."""
         if bucket in self._mesh_prefill_cache:
             return self._mesh_prefill_cache[bucket]
-        decode = self._decode
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def run(params, caches, last_tokens, seq_lens, prompt, slot,
-                true_len):
-            slot_hot = jnp.arange(seq_lens.shape[0]) == slot
-
-            def body(carry, xs):
-                toks, caches, lens, kept = carry
-                tok_t, t = xs
-                toks = jnp.where(slot_hot, tok_t, toks)
-                logits, caches = decode(params, toks, caches, lens)
-                active = t < true_len
-                lens = jnp.where(slot_hot & active, lens + 1, lens)
-                kept = jnp.where(t == true_len - 1, logits[slot], kept)
-                return (toks, caches, lens, kept), None
-
-            kept0 = jnp.zeros((params.lm_head.shape[1],), jnp.float32)
-            (toks, caches, lens, kept), _ = jax.lax.scan(
-                body, (last_tokens, caches, seq_lens, kept0),
-                (prompt, jnp.arange(bucket, dtype=jnp.int32)))
-            return caches, lens, kept
-
+        from ..parallel import make_sharded_prefill_step
+        run = make_sharded_prefill_step(self._mesh, self.cfg, self.params,
+                                        bucket)
         self._mesh_prefill_cache[bucket] = run
         return run
 
-    def _prefill_via_decode(self, adm) -> int:
-        """Prompt ingestion through the sharded decode step (mesh mode)."""
+    def _prefill_mesh(self, adm) -> int:
+        """Mesh-mode prompt ingestion: O(1) dispatches per admission."""
         slot = adm.slot
-        self.seq_lens = self.seq_lens.at[slot].set(0)
         bucket = _bucket(len(adm.prompt))
+        if bucket > self.max_seq_len:
+            # Same clamp as single-host: round to the flash-prefill
+            # granularity, never past the cache extent.
+            bucket = min(-(-len(adm.prompt) // 16) * 16, self.max_seq_len)
         prompt = np.zeros((bucket,), np.int32)
         prompt[:len(adm.prompt)] = adm.prompt
         run = self._mesh_prefill_fn(bucket)
-        self.caches, self.seq_lens, last_logits = run(
-            self.params, self.caches, self.last_tokens, self.seq_lens,
-            jnp.asarray(prompt), jnp.int32(slot),
+        last_logits, self.caches = run(
+            self.params, self.caches, jnp.asarray(prompt), jnp.int32(slot),
             jnp.int32(len(adm.prompt)))
         first = int(self._sample(last_logits))
-        self.last_tokens = self.last_tokens.at[slot].set(first)
         return first
 
     def _sample(self, logits: jax.Array) -> jax.Array:
@@ -253,10 +233,7 @@ class Engine:
         prefill_tokens: Dict[int, int] = {}
         for adm in sched.admissions():
             if self._mesh is not None:
-                # Sharded mode: GSPMD can't partition pallas_call, so the
-                # bucketed prefill program isn't available — feed the prompt
-                # through the sharded decode step token by token.
-                first_tok = self._prefill_via_decode(adm)
+                first_tok = self._prefill_mesh(adm)
             else:
                 bucket = _bucket(len(adm.prompt))
                 if bucket > self.max_seq_len:

@@ -102,6 +102,7 @@ class TilingPredictor:
                  strategy: str = "greedy",
                  min_candidates: int = MIN_CANDIDATES,
                  margin: float = NATIVE_MARGIN,
+                 guard_factor: float = 1.25,
                  op: str = "gemm"):
         if strategy not in ("greedy", "topk_median"):
             raise ValueError(f"unknown strategy {strategy!r}")
@@ -109,6 +110,7 @@ class TilingPredictor:
         self.strategy = strategy
         self.min_candidates = min_candidates
         self.margin = margin
+        self.guard_factor = guard_factor
         self.op = op
 
     def predict_batch(self, feats: np.ndarray) -> np.ndarray:
@@ -150,6 +152,23 @@ class TilingPredictor:
         if float(times[idx]) > (1.0 - self.margin) * native_time:
             return None  # not confidently better than analytic → decline
         bm, bn, bk = (int(v) for v in tiles[idx])
+        # Roofline guardrail (beyond the reference's policy): the margin
+        # rule compares PREDICTED vs PREDICTED, so an MLP that extrapolates
+        # badly outside its sweep distribution can rank a catastrophic tile
+        # first AND "beat" analytic in its own broken time domain. Cross-
+        # check against the analytic traffic model: decline any pick it
+        # models ≥ guard_factor× slower than the analytic config. The
+        # predictor keeps its value (picking configs the model thinks
+        # slightly worse is exactly where learned beats analytic) but can
+        # no longer select off-distribution garbage.
+        est_pick = analytic.estimate_time(
+            m, n, k, bm, bn, bk, a_i, a_i, o_i, info,
+            in_dtype=in_dtype).time_s
+        est_native = analytic.estimate_time(
+            m, n, k, native.block_m, native.block_n, native.block_k,
+            a_i, a_i, o_i, info, in_dtype=in_dtype).time_s
+        if est_pick > self.guard_factor * est_native:
+            return None
         ktype, ksplit = analytic.select_kernel_type(m, n, k, bm, bn, bk, info)
         return GemmConfig(block_m=bm, block_n=bn, block_k=bk,
                           kernel_type=ktype, k_split=ksplit)

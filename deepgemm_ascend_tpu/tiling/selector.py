@@ -12,6 +12,7 @@ are O(1) — exactly the reference cache discipline (`cache.cpp:69-101`).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ from .cache import TilingCache, cache_key, global_cache
 # Optional learned predictor; registered lazily by tiling.predictor to avoid
 # importing the model stack on the serving hot path.
 _predictor = None
+_default_predictor_tried = False
 
 
 def register_predictor(predictor) -> None:
@@ -31,8 +33,31 @@ def register_predictor(predictor) -> None:
     ≙ ``Predictor::UsePredictApi`` gating (`predictor.h:21-44`) — presence of
     the predictor is optional and the analytic tier is always the fallback.
     """
-    global _predictor
+    global _predictor, _default_predictor_tried
     _predictor = predictor
+    _default_predictor_tried = True   # explicit registration wins
+
+
+def _maybe_enable_default_predictor() -> None:
+    """Tier-2 auto-wiring (on by default, ≙ the reference's live predictor
+    mode — `custom_catlass/code_backup/dynamic_tiling_matmul.cpp:16-21`
+    mode 2): on the first cache miss, install the packaged predictor when
+    its training device matches the detected one. The packaged weights were
+    swept on v5e; ``DGA_PREDICTOR_PATH`` overrides (no device gate), and
+    ``DGA_DISABLE_PREDICTOR=1`` opts out. The decline policy (min
+    candidates + 3% margin vs analytic) still guards every selection."""
+    global _default_predictor_tried
+    if _default_predictor_tried:
+        return
+    _default_predictor_tried = True
+    if os.environ.get("DGA_DISABLE_PREDICTOR") == "1":
+        return
+    from . import platform as plat
+    from .predictor import DEFAULT_WEIGHTS_ENV, enable_default_predictor
+    if (not os.environ.get(DEFAULT_WEIGHTS_ENV)
+            and plat.detect().device_kind != "tpu v5e"):
+        return   # packaged weights are v5e-swept; wrong device → stay tier-3
+    enable_default_predictor(op="fp8_gemm")
 
 
 def select_config(
@@ -64,6 +89,7 @@ def select_config(
         return hit
     metrics.inc("tiling.cache_miss")
 
+    _maybe_enable_default_predictor()
     if _predictor is not None:
         cfg = _predictor.predict(m, n, k, in_dt, out_dt, op=op)
         if cfg is not None:

@@ -145,6 +145,55 @@ def test_tp_kv_sharded_flash_decode_matches_and_traces(setup):
     assert np.isfinite(np.asarray(logits2)).all()
 
 
+@pytest.mark.parametrize("dp,ep,tp", [(2, 4, 1), (1, 4, 2), (2, 2, 2)])
+def test_mesh_prefill_matches_single_host(setup, dp, ep, tp):
+    """VERDICT r1 #3: mesh admission must be a one-dispatch bucketed prefill
+    (flash-prefill kernel per shard, trace-counted), with caches equal to
+    the single-host prefill — bitwise when tp == 1 (cache writes happen
+    before any MoE psum, so dp/ep cannot perturb them), dequant-tolerance
+    under tp (per-shard fp8 column blocks round differently)."""
+    from deepgemm_ascend_tpu.serving import Engine
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = setup
+    prompt = [(i * 7 + 3) % cfg.vocab_size for i in range(24)]  # bucket 32
+    eng1 = Engine(params, cfg, max_slots=4, max_seq_len=64)
+    mesh = make_mesh(dp=dp, ep=ep, tp=tp)
+    eng2 = Engine(params, cfg, max_slots=4, max_seq_len=64, mesh=mesh)
+    id1 = eng1.scheduler.submit(prompt, 2)
+    id2 = eng2.scheduler.submit(prompt, 2)
+    metrics.reset()
+    out1 = eng1.step()
+    out2 = eng2.step()
+    snap = metrics.snapshot()
+    # The mesh prefill program must contain the flash-prefill kernel in
+    # every layer (single dispatch, no token-at-a-time decode scan). Both
+    # engines trace one prefill program → 2 × num_layers.
+    from deepgemm_ascend_tpu.parallel.sharded import tp_kv_sharding
+    if tp == 1 or tp_kv_sharding(mesh, cfg):
+        assert snap.get("attention.flash_prefill_trace", 0) == \
+            2 * cfg.num_layers, snap
+    assert out1[id1][0] == out2[id2][0]          # same greedy first token
+
+    for li, (c1, c2) in enumerate(zip(eng1.caches, eng2.caches)):
+        if tp == 1:
+            np.testing.assert_array_equal(np.asarray(c1.k_q),
+                                          np.asarray(c2.k_q), err_msg=f"L{li}")
+            np.testing.assert_array_equal(np.asarray(c1.v_q),
+                                          np.asarray(c2.v_q), err_msg=f"L{li}")
+            np.testing.assert_array_equal(np.asarray(c1.k_s),
+                                          np.asarray(c2.k_s), err_msg=f"L{li}")
+            np.testing.assert_array_equal(np.asarray(c1.v_s),
+                                          np.asarray(c2.v_s), err_msg=f"L{li}")
+        else:
+            for qn, sn in (("k_q", "k_s"), ("v_q", "v_s")):
+                f1 = (np.asarray(getattr(c1, qn), np.float32)
+                      * np.asarray(getattr(c1, sn))[..., None])
+                f2 = (np.asarray(getattr(c2, qn), np.float32)
+                      * np.asarray(getattr(c2, sn))[..., None])
+                rel = verify.relative_l2_error(f2, f1)
+                assert rel < 0.05, (li, qn, rel)
+
+
 def test_attention_rejects_incongruent_kv_shard(setup):
     """A kv-sharded cache with mismatched local q heads must raise."""
     from deepgemm_ascend_tpu.models.attention import attention

@@ -136,3 +136,43 @@ def test_default_predictor_env_override(tmp_path, monkeypatch):
     w.save(p)
     monkeypatch.setenv(predictor.DEFAULT_WEIGHTS_ENV, p)
     assert predictor.default_weights_path("fp8_gemm") == p
+
+
+def test_tier2_autowires_on_first_miss(monkeypatch):
+    """VERDICT r1 #5: a fresh process must consult the predictor for
+    uncached fp8 shapes without anyone calling enable_default_predictor —
+    the selector wires tier 2 on the first cache miss (device-gated for the
+    packaged weights; env path taken here to bypass the CPU gate)."""
+    import jax.numpy as jnp
+    from deepgemm_ascend_tpu.tiling.cache import TilingCache
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    monkeypatch.setenv(predictor.DEFAULT_WEIGHTS_ENV,
+                       predictor.default_weights_path("fp8_gemm"))
+    monkeypatch.setattr(selector, "_predictor", None)
+    monkeypatch.setattr(selector, "_default_predictor_tried", False)
+    metrics.reset()
+    try:
+        selector.select_config(4096, 4096, 4096, jnp.float8_e4m3fn,
+                               jnp.bfloat16, op="fp8_gemm",
+                               cache=TilingCache(None))
+        assert selector._predictor is not None
+        snap = metrics.snapshot()
+        assert (snap.get("tiling.predictor_pick", 0)
+                + snap.get("tiling.predictor_decline", 0)) == 1, snap
+    finally:
+        selector.register_predictor(None)
+
+
+def test_tier2_autowire_respects_disable_env(monkeypatch):
+    import jax.numpy as jnp
+    from deepgemm_ascend_tpu.tiling.cache import TilingCache
+    monkeypatch.setenv("DGA_DISABLE_PREDICTOR", "1")
+    monkeypatch.setattr(selector, "_predictor", None)
+    monkeypatch.setattr(selector, "_default_predictor_tried", False)
+    try:
+        selector.select_config(4096, 4096, 4096, jnp.float8_e4m3fn,
+                               jnp.bfloat16, op="fp8_gemm",
+                               cache=TilingCache(None))
+        assert selector._predictor is None
+    finally:
+        selector.register_predictor(None)
