@@ -136,8 +136,19 @@ void select_kernel_type(int64_t m, int64_t n, int64_t k, int64_t bm,
     *ktype = 0; *ksplit = 1; return;
   }
   if (p.num_cores > 1 && nm * nn < p.num_cores && nk >= 2 * p.num_cores) {
+    // Workload-balanced split count (== analytic.select_kernel_type):
+    // minimize per-core makespan ceil(parallel_work/cores) * k-steps, the
+    // TPU-expressible equivalent of the reference's fractional stream-K
+    // assignment (megacore assigns grid slices; the program cannot).
+    int64_t cores = p.num_cores;
+    int64_t best_s = std::min(cores, nk);
+    int64_t best_cost = -1;
+    for (int64_t s = 2; s <= std::min(nk, 4 * cores); ++s) {
+      int64_t cost = ceil_div(s * nm * nn, cores) * ceil_div(nk, s);
+      if (best_cost < 0 || cost < best_cost) { best_s = s; best_cost = cost; }
+    }
     *ktype = 2;
-    *ksplit = static_cast<int32_t>(std::min<int64_t>(p.num_cores, nk));
+    *ksplit = static_cast<int32_t>(best_s);
     return;
   }
   *ktype = 1; *ksplit = 1;

@@ -204,12 +204,28 @@ def select_kernel_type(
     (BlockSpec masks tails) and gates KSPLIT on megacore utilisation: with a
     single TensorCore the grid is sequential and split-K only adds reduce
     traffic.
+
+    The split count is workload-balanced: on TPU the megacore splitter —
+    not the program — assigns grid slices to cores, so the reference's
+    fractional stream-K assignment (`padding_streamk_matmul_kernel.h:28-131`,
+    core i takes k-chunks [i·w, (i+1)·w) with fractional w) is not
+    expressible. The expressible equivalent minimizes the same objective it
+    balances: per-core makespan ``ceil(parallel_work/cores) · k_steps_per
+    _split``, searched over split counts (ties → fewer partials, i.e. less
+    f32 reduce traffic). A 1-core part never selects KSPLIT — sweep
+    evidence in docs/BENCHMARKS.md (ksplit rows) backs the gate.
     """
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
     if nm == 1 and nn == 1 and nk == 1:
         return KernelType.SMALL, 1
     if info.num_cores > 1 and nm * nn < info.num_cores and nk >= 2 * info.num_cores:
-        return KernelType.KSPLIT, min(info.num_cores, nk)
+        cores = info.num_cores
+        best_s, best_cost = min(cores, nk), None
+        for s in range(2, min(nk, 4 * cores) + 1):
+            cost = ceil_div(s * nm * nn, cores) * ceil_div(nk, s)
+            if best_cost is None or cost < best_cost:
+                best_s, best_cost = s, cost
+        return KernelType.KSPLIT, best_s
     return KernelType.COMMON, 1
 
 

@@ -15,9 +15,9 @@ Differences from the reference: weights live in a portable ``.npz`` (the
 reference shipped no ``.pth`` weights at all — SURVEY.md §2.4); training
 happens in-repo from autotuner sweep JSONL (tiling/autotune.py) via optax;
 inference is plain numpy (host path — no device round trip per selection).
-Selection strategies: ``greedy`` and ``topk_median`` (the reference's
-dbscan strategy needs sklearn — out of the baked-image dependency set; the
-strategy hook is the same).
+Selection strategies: ``greedy``, ``topk_median``, and ``topk_consensus``
+(a clustering-free robust analogue of the reference's ``topk_dbscan`` —
+sklearn is out of the baked-image dependency set; see ``_select``).
 """
 
 from __future__ import annotations
@@ -104,7 +104,7 @@ class TilingPredictor:
                  margin: float = NATIVE_MARGIN,
                  guard_factor: float = 1.25,
                  op: str = "gemm"):
-        if strategy not in ("greedy", "topk_median"):
+        if strategy not in ("greedy", "topk_median", "topk_consensus"):
             raise ValueError(f"unknown strategy {strategy!r}")
         self.weights = weights
         self.strategy = strategy
@@ -121,12 +121,24 @@ class TilingPredictor:
             outs.append(self.weights.forward(feats[i:i + MAX_BATCH]))
         return np.concatenate(outs) if outs else np.zeros((0,))
 
-    def _select(self, times: np.ndarray) -> int:
+    def _select(self, times: np.ndarray,
+                tiles: Optional[np.ndarray] = None) -> int:
         if self.strategy == "greedy":
             return int(np.argmin(times))
         k = max(1, min(8, len(times) // 10))
         top = np.argsort(times)[:k]
-        return int(top[len(top) // 2])  # median of the top-k
+        if self.strategy == "topk_median" or tiles is None:
+            return int(top[len(top) // 2])  # median of the top-k
+        # topk_consensus — clustering-free stand-in for the reference's
+        # topk_dbscan (`get_best_config.py:431-525`, needs sklearn, absent
+        # from this image): the dbscan strategy's point is robustness to a
+        # single outlier prediction dragging greedy off a cliff. Same goal
+        # here: among the top-k predicted configs, pick the one closest (in
+        # log-block space) to their per-dimension median — the "center of
+        # mass" of what the model considers fast, not its single extremum.
+        logt = np.log2(tiles[top].astype(np.float64))
+        med = np.median(logt, axis=0)
+        return int(top[np.argmin(np.abs(logt - med).sum(axis=1))])
 
     def predict(self, m: int, n: int, k: int, in_dtype, out_dtype,
                 *, op: str = "gemm") -> Optional[GemmConfig]:
@@ -148,7 +160,7 @@ class TilingPredictor:
         nat_feat = _features(m, n, k, np.asarray(
             [[native.block_m, native.block_n, native.block_k]], np.int64))
         native_time = float(np.exp(self.predict_batch(nat_feat)[0]))
-        idx = self._select(times)
+        idx = self._select(times, tiles)
         if float(times[idx]) > (1.0 - self.margin) * native_time:
             return None  # not confidently better than analytic → decline
         bm, bn, bk = (int(v) for v in tiles[idx])

@@ -85,6 +85,31 @@ def test_select_kernel_type_chain():
     assert kt == KernelType.COMMON
 
 
+def test_ksplit_workload_balanced():
+    """The split count minimizes per-core makespan (the TPU-expressible
+    stream-K objective): ceil(parallel_work/cores) · k-steps-per-split."""
+    from deepgemm_ascend_tpu.utils.common import ceil_div
+    info = platform.PlatformInfo(num_cores=2)
+    # nm·nn = 1, nk = 128 → any even split gives makespan 64; s = 2 has the
+    # least f32 reduce traffic and must win the tie.
+    kt, ks = analytic.select_kernel_type(64, 128, 65536, 64, 128, 512, info)
+    assert kt == KernelType.KSPLIT and ks == 2
+    # nk = 7 (ragged): s = 2 → 1·4 = 4 beats s = 3 (2·3 = 6); the chosen
+    # split must achieve the optimum over the searched range.
+    kt, ks = analytic.select_kernel_type(64, 128, 7 * 512, 64, 128, 512, info)
+    assert kt == KernelType.KSPLIT
+    nm = nn = 1
+    best = min(ceil_div(s * nm * nn, 2) * ceil_div(7, s)
+               for s in range(2, 8))
+    got = ceil_div(ks * nm * nn, 2) * ceil_div(7, ks)
+    assert got == best, (ks, got, best)
+    # 1-core parts must never select KSPLIT (sequential grid — split-K
+    # only adds reduce traffic; on-chip sweep evidence backs the gate).
+    one = platform.PlatformInfo(num_cores=1)
+    kt, ks = analytic.select_kernel_type(64, 128, 65536, 64, 128, 512, one)
+    assert kt == KernelType.COMMON and ks == 1
+
+
 # ---- persistent cache (≙ cache/csv gtests, test cache.cpp:69-101) ----
 
 def test_cache_set_get_idempotent(tmp_path):
