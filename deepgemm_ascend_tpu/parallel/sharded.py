@@ -126,12 +126,67 @@ def shard_caches(mesh: Mesh, caches: List[KVCache],
         caches, specs)
 
 
+def _sample_sharded(logits_local, key, *, temperature: float, top_k: int,
+                    axis_name: str = "model"):
+    """Sample from vocab-sharded logits WITHOUT gathering the distribution.
+
+    The decode step's one large collective is the (batch, vocab) f32 logits
+    all-gather (8.4 MB/step for V2-Lite at batch 64 on tp=4 — docs/aot/);
+    sampling needs only a token id per row. Greedy, temperature, and top-k
+    all decompose exactly over vocab shards:
+
+    * greedy = max-reduce: per-shard (max, argmax), gather the tiny
+      (tp, b) tables, pick the winning shard;
+    * temperature = Gumbel-max: ``argmax(logits/T + G)`` IS one categorical
+      sample; per-shard i.i.d. Gumbel (key folded with the shard index)
+      then the same max-reduce;
+    * top-k = threshold first: the global top-k lives inside the union of
+      per-shard top-k, so gather the (tp, b, k) candidate values, take the
+      global k-th as threshold, mask below it, then Gumbel-max.
+
+    top-p does NOT decompose (needs the global sorted cumulative mass —
+    possibly O(vocab) candidates); callers wanting top-p keep the gather
+    path. Collective bytes: 8.4 MB → tp·b·(2 + top_k)·8 B (≈ KBs).
+    """
+    b, v_local = logits_local.shape
+    x = logits_local
+    if temperature > 0.0:
+        x = x / temperature
+        if top_k > 0:
+            k = min(top_k, v_local)   # per-shard candidates; union ⊇ global
+            cand = jax.lax.top_k(x, k)[0]                       # (b, k)
+            all_cand = jax.lax.all_gather(cand, axis_name)      # (tp, b, k)
+            tp = all_cand.shape[0]
+            pool = jnp.moveaxis(all_cand, 0, 1).reshape(b, tp * k)
+            kth = jax.lax.top_k(pool, min(top_k, tp * k))[0][:, -1:]
+            x = jnp.where(x < kth, -jnp.inf, x)
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        u = jax.random.uniform(shard_key, x.shape, jnp.float32,
+                               minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+        x = x + (-jnp.log(-jnp.log(u)))
+    local_max = jnp.max(x, axis=1)                              # (b,)
+    local_arg = jnp.argmax(x, axis=1).astype(jnp.int32)         # (b,)
+    all_max = jax.lax.all_gather(local_max, axis_name)          # (tp, b)
+    all_arg = jax.lax.all_gather(local_arg, axis_name)          # (tp, b)
+    win = jnp.argmax(all_max, axis=0).astype(jnp.int32)         # (b,)
+    rows = jnp.arange(b)
+    return all_arg[win, rows] + win * v_local
+
+
 def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
-                             params: ModelParams):
+                             params: ModelParams, *,
+                             sample: Optional[dict] = None):
     """Build the jitted SPMD decode step for this mesh.
 
-    Returns ``step(params, tokens, caches, seq_lens) -> (logits, caches)``
+    Default: ``step(params, tokens, caches, seq_lens) -> (logits, caches)``
     with tokens (batch,) int32 sharded on "data" and logits gathered full.
+
+    ``sample={"temperature": t, "top_k": k}``: sampling moves INSIDE the
+    sharded program — ``step(params, tokens, caches, seq_lens, key) ->
+    (next_tokens, caches)`` — and the (batch, vocab) logits all-gather is
+    replaced by the KB-scale max-reduce of :func:`_sample_sharded`
+    (temperature 0 ⇒ greedy, bit-identical to argmax of the gathered
+    logits). top-p callers must use the default (gather) step.
     """
     tp = mesh.shape["model"]
     ep = mesh.shape["expert"]
@@ -185,23 +240,51 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
         x = rms_norm(x, params.final_norm, cfg.rms_eps)
         logits_local = jnp.dot(x[:, 0], params.lm_head,
                                preferred_element_type=jnp.float32)
-        logits = jax.lax.all_gather(logits_local, "model", axis=1,
-                                    tiled=True)
-        return logits, new_caches
+        return logits_local, new_caches
 
     specs_p = param_specs(params, cfg, tp_kv=tp_kv)
     kv_ax = "model" if tp_kv else None
     cspec = KVCache(P("data", kv_ax), P("data", kv_ax),
                     P("data", kv_ax), P("data", kv_ax))
+    cspecs = [cspec for _ in range(cfg.num_layers)]
+
+    if sample is None:
+        def gather_forward(params, tokens, caches, seq_lens):
+            logits_local, new_caches = local_forward(
+                params, tokens, caches, seq_lens)
+            logits = jax.lax.all_gather(logits_local, "model", axis=1,
+                                        tiled=True)
+            return logits, new_caches
+
+        fn = shard_map(
+            gather_forward, mesh,
+            in_specs=(specs_p, P("data"), cspecs, P("data")),
+            out_specs=(P("data", None), cspecs),
+        )
+        # Donate the KV caches — without it every step holds two full
+        # copies of the multi-layer int8 cache per shard and re-writes it
+        # wholesale.
+        return jax.jit(fn, donate_argnums=(2,))
+
+    temp = float(sample.get("temperature", 0.0))
+    top_k = int(sample.get("top_k", 0))
+
+    def sampled_forward(params, tokens, caches, seq_lens, key):
+        logits_local, new_caches = local_forward(
+            params, tokens, caches, seq_lens)
+        # Distinct Gumbel noise per data shard (different batch rows);
+        # _sample_sharded folds the "model" index itself. "expert" shards
+        # hold replicated logits and must draw IDENTICAL noise — not folded.
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        nxt = _sample_sharded(logits_local, key,
+                              temperature=temp, top_k=top_k)
+        return nxt, new_caches
+
     fn = shard_map(
-        local_forward, mesh,
-        in_specs=(specs_p, P("data"),
-                  [cspec for _ in range(cfg.num_layers)], P("data")),
-        out_specs=(P("data", None),
-                   [cspec for _ in range(cfg.num_layers)]),
+        sampled_forward, mesh,
+        in_specs=(specs_p, P("data"), cspecs, P("data"), P()),
+        out_specs=(P("data"), cspecs),
     )
-    # Donate the KV caches — without it every step holds two full copies
-    # of the multi-layer int8 cache per shard and re-writes it wholesale.
     return jax.jit(fn, donate_argnums=(2,))
 
 

@@ -104,6 +104,7 @@ class Engine:
         self._key = jax.random.PRNGKey(seed)
         self._mesh = mesh
 
+        self._decode_sampled = None
         if mesh is not None:
             from ..parallel import (make_sharded_decode_step, shard_caches,
                                     shard_params)
@@ -111,6 +112,14 @@ class Engine:
             self.caches = shard_caches(
                 mesh, init_cache(cfg, max_slots, self.max_seq_len), cfg)
             self._decode = make_sharded_decode_step(mesh, cfg, params)
+            if top_p >= 1.0:
+                # Sampling inside the sharded program: the (batch, vocab)
+                # logits all-gather (the decode step's one large collective
+                # — docs/MULTICHIP.md) collapses to a KB-scale max-reduce.
+                # top-p needs the global distribution → gather path.
+                self._decode_sampled = make_sharded_decode_step(
+                    mesh, cfg, params,
+                    sample={"temperature": temperature, "top_k": top_k})
         else:
             self.params = params
             self.caches = init_cache(cfg, max_slots, self.max_seq_len)
@@ -135,15 +144,20 @@ class Engine:
             # (nested jit inlines; its inner donation is subsumed by ours).
             step_fn = (self._decode if mesh is not None
                        else functools.partial(decode_step, cfg=cfg))
+            sampled_fn = self._decode_sampled
 
             @functools.partial(jax.jit, donate_argnums=(2,))
             def chunk_fn(params, toks, caches, lens, mask, key):
                 def body(carry, _):
                     toks, caches, lens, key = carry
-                    logits, caches = step_fn(params, toks, caches, lens)
                     key, sub = jax.random.split(key)
-                    nxt = sample_logits(logits, sub, temperature=temp,
-                                        top_k=tk, top_p=tp)
+                    if sampled_fn is not None:
+                        nxt, caches = sampled_fn(params, toks, caches, lens,
+                                                 sub)
+                    else:
+                        logits, caches = step_fn(params, toks, caches, lens)
+                        nxt = sample_logits(logits, sub, temperature=temp,
+                                            top_k=tk, top_p=tp)
                     # Inactive slots neither advance nor change token.
                     nxt = jnp.where(mask, nxt, toks)
                     lens = jnp.where(mask, lens + 1, lens)
@@ -282,10 +296,16 @@ class Engine:
                                        sub)
                 out_np = np.asarray(out)              # (chunk, slots)
             else:
-                logits, self.caches = self._decode(
-                    self.params, self.last_tokens, self.caches,
-                    self.seq_lens)
-                nxt = self._sample(logits)
+                if self._decode_sampled is not None:
+                    self._key, sub = jax.random.split(self._key)
+                    nxt, self.caches = self._decode_sampled(
+                        self.params, self.last_tokens, self.caches,
+                        self.seq_lens, sub)
+                else:
+                    logits, self.caches = self._decode(
+                        self.params, self.last_tokens, self.caches,
+                        self.seq_lens)
+                    nxt = self._sample(logits)
                 self.seq_lens = jnp.where(jmask, self.seq_lens + 1,
                                           self.seq_lens)
                 self.last_tokens = jnp.where(jmask, nxt, self.last_tokens)

@@ -91,6 +91,10 @@ def main() -> int:
     ap.add_argument("--max-seq", type=int, default=256)
     ap.add_argument("--bucket", type=int, default=32,
                     help="prefill bucket to compile (0 = skip prefill)")
+    ap.add_argument("--sampled", action="store_true",
+                    help="also compile the in-graph-sampling decode step "
+                         "(temperature 1, top-k 8) — the logits all-gather "
+                         "must collapse to KB-scale max-reduce gathers")
     ap.add_argument("--dp", type=int, default=0, help="0 = auto")
     ap.add_argument("--out", default=None, help="dir for HLO dumps + report")
     args = ap.parse_args()
@@ -150,6 +154,14 @@ def main() -> int:
 
     jobs = [("decode", make_sharded_decode_step(mesh, cfg, params),
              (p_abs, t_abs, c_abs, t_abs))]
+    if args.sampled:
+        key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32,
+                                       sharding=NamedSharding(mesh, P()))
+        jobs.append(("decode_sampled",
+                     make_sharded_decode_step(
+                         mesh, cfg, params,
+                         sample={"temperature": 1.0, "top_k": 8}),
+                     (p_abs, t_abs, c_abs, t_abs, key_abs)))
     if args.bucket:
         tok_abs = jax.ShapeDtypeStruct((args.bucket,), jnp.int32,
                                        sharding=NamedSharding(mesh, P(None)))

@@ -15,34 +15,137 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _load_grouped(paths):
+    """jsonl → {(op, m, n, k): [(bm, bn, bk, time_s), …]} (clean records)."""
+    import json
+    groups = {}
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("time_s", -1) <= 0:
+                    continue
+                c = r["config"]
+                key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
+                groups.setdefault(key, []).append(
+                    (c["block_m"], c["block_n"], c["block_k"], r["time_s"]))
+    return groups
+
+
+def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
+                                                   "topk_consensus")):
+    """Rank swept candidates per shape with the MLP; compare the pick's
+    MEASURED time against the measured best (oracle) and the analytic
+    pick's measured time. ≙ the greedy-vs-predictor comparison VERDICT r1
+    asked for — scored on real on-chip measurements, not predicted times."""
+    import numpy as np
+    from deepgemm_ascend_tpu.tiling import analytic, platform as plat
+    from deepgemm_ascend_tpu.tiling.predictor import (TilingPredictor,
+                                                      _features)
+    info = plat.detect()
+    out = {}
+    for strat in strategies:
+        p = TilingPredictor(weights, strategy=strat, min_candidates=1)
+        rows = []
+        for (op, m, n, k), recs in groups.items():
+            if len(recs) < 4:
+                continue
+            tiles = np.asarray([r[:3] for r in recs], np.int64)
+            times = np.asarray([r[3] for r in recs])
+            pred = np.exp(p.predict_batch(_features(m, n, k, tiles)))
+            idx = p._select(pred, tiles)
+            oracle = float(times.min())
+            pick = float(times[idx])
+            itemsize = 1 if "fp8" in op else 2
+            nat = analytic.get_best_config(m, n, k, itemsize, itemsize,
+                                           2 if "fp8" in op else 4)
+            nat_key = (nat.block_m, nat.block_n, nat.block_k)
+            nat_times = [t for bm, bn, bk, t in recs
+                         if (bm, bn, bk) == nat_key]
+            nat_t = min(nat_times) if nat_times else None
+            rows.append((pick / oracle, None if nat_t is None
+                         else pick <= nat_t * 1.001))
+        slowdowns = [r[0] for r in rows]
+        vs_nat = [r[1] for r in rows if r[1] is not None]
+        out[strat] = {
+            "shapes": len(rows),
+            "mean_slowdown_vs_oracle": float(np.mean(slowdowns)) if rows else None,
+            "p90_slowdown_vs_oracle": float(np.percentile(slowdowns, 90)) if rows else None,
+            "winrate_vs_analytic": (sum(vs_nat) / len(vs_nat)) if vs_nat else None,
+            "analytic_coverage": len(vs_nat),
+        }
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sweep_glob", help="glob of sweep jsonl files")
     ap.add_argument("--out", default="data/tiling_mlp.npz")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--hidden", type=int, nargs="*", default=[64, 128, 64])
+    ap.add_argument("--holdout", type=float, default=0.2,
+                    help="fraction of SHAPES held out for the win-rate "
+                         "report (0 = train on everything, report in-sample)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # tiny MLP; never contend for the chip
+    import numpy as np
     from deepgemm_ascend_tpu.tiling import predictor
 
     paths = sorted(glob.glob(args.sweep_glob))
     if not paths:
         print(f"[DGA-TPU] no files match {args.sweep_glob}")
         return 1
-    feats, log_t = predictor.load_sweep_records(paths)
+    groups = _load_grouped(paths)
+    shapes = sorted(groups)
+    rng = np.random.default_rng(args.seed)
+    n_hold = int(len(shapes) * args.holdout)
+    hold = set(map(tuple, rng.permutation(np.asarray(shapes, dtype=object))
+                   [:n_hold])) if n_hold else set()
+
+    def to_xy(keys):
+        feats, times = [], []
+        for key in keys:
+            op, m, n, k = key
+            for bm, bn, bk, t in groups[key]:
+                f = predictor._features(
+                    m, n, k, np.asarray([[bm, bn, bk]], np.int64))[0]
+                feats.append(f)
+                times.append(t)
+        return (np.asarray(feats), np.log(np.asarray(times)))
+
+    train_keys = [s for s in shapes if tuple(s) not in hold]
+    feats, log_t = to_xy(train_keys)
     if len(feats) < 10:
         print(f"[DGA-TPU] only {len(feats)} usable records — need more sweeps")
         return 1
     w = predictor.train(feats, log_t, hidden=tuple(args.hidden),
                         epochs=args.epochs)
-    import numpy as np
     pred = w.forward(feats)
     corr = float(np.corrcoef(pred, log_t)[0, 1])
     w.save(args.out)
-    print(f"[DGA-TPU] trained on {len(feats)} records; train corr {corr:.3f}; "
+    print(f"[DGA-TPU] trained on {len(feats)} records "
+          f"({len(train_keys)} shapes); train corr {corr:.3f}; "
           f"saved {args.out}")
+
+    eval_groups = ({k: groups[k] for k in shapes if tuple(k) in hold}
+                   if hold else groups)
+    tag = "held-out" if hold else "in-sample"
+    report = winrate_report(w, eval_groups)
+    for strat, r in report.items():
+        print(f"[DGA-TPU] {tag} {strat}: {r['shapes']} shapes, "
+              f"pick/oracle mean {r['mean_slowdown_vs_oracle']:.3f} "
+              f"p90 {r['p90_slowdown_vs_oracle']:.3f}, "
+              f"win-rate vs analytic {r['winrate_vs_analytic']} "
+              f"(on {r['analytic_coverage']} shapes)")
     return 0
 
 

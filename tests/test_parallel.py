@@ -194,6 +194,60 @@ def test_mesh_prefill_matches_single_host(setup, dp, ep, tp):
                 assert rel < 0.05, (li, qn, rel)
 
 
+def test_sampled_step_greedy_matches_gather(setup):
+    """In-graph sharded sampling (temperature 0) must be bit-identical to
+    argmax over the gathered logits — the max-reduce replaces the
+    (batch, vocab) all-gather, not the semantics."""
+    cfg, params = setup
+    mesh = make_mesh(dp=1, ep=4, tp=2)
+    b = 4
+    toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)
+    p_sh = shard_params(mesh, params, cfg)
+
+    step = make_sharded_decode_step(mesh, cfg, params)
+    logits, _ = step(p_sh, toks, shard_caches(mesh, init_cache(cfg, b, 16),
+                                              cfg), lens)
+    expect = np.asarray(jnp.argmax(logits, axis=-1))
+
+    from deepgemm_ascend_tpu.parallel import make_sharded_decode_step as mk
+    sampled = mk(mesh, cfg, params, sample={"temperature": 0.0, "top_k": 0})
+    nxt, _ = sampled(p_sh, toks, shard_caches(mesh, init_cache(cfg, b, 16),
+                                              cfg), lens,
+                     jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(nxt), expect)
+
+
+def test_sampled_step_topk_membership(setup):
+    """Temperature sampling with top-k truncation: every sampled token must
+    lie in the GLOBAL top-k of that row's gathered logits (the per-shard
+    candidate union argument), across several keys."""
+    cfg, params = setup
+    mesh = make_mesh(dp=2, ep=2, tp=2)
+    b, k = 4, 4
+    toks = jnp.asarray([5, 6, 7, 8], jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)
+    p_sh = shard_params(mesh, params, cfg)
+
+    step = make_sharded_decode_step(mesh, cfg, params)
+    logits, _ = step(p_sh, toks, shard_caches(mesh, init_cache(cfg, b, 16),
+                                              cfg), lens)
+    top = np.asarray(jax.lax.top_k(logits, k)[1])       # (b, k) global
+
+    sampled = make_sharded_decode_step(
+        mesh, cfg, params, sample={"temperature": 1.0, "top_k": k})
+    seen = set()
+    for seed in range(5):
+        nxt, _ = sampled(p_sh, toks,
+                         shard_caches(mesh, init_cache(cfg, b, 16), cfg),
+                         lens, jax.random.PRNGKey(seed))
+        nxt = np.asarray(nxt)
+        for row in range(b):
+            assert nxt[row] in top[row], (row, nxt[row], top[row])
+            seen.add((row, int(nxt[row])))
+    assert len(seen) > b  # actually samples, not a disguised argmax
+
+
 def test_attention_rejects_incongruent_kv_shard(setup):
     """A kv-sharded cache with mismatched local q heads must raise."""
     from deepgemm_ascend_tpu.models.attention import attention
