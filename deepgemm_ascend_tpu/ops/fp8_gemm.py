@@ -179,47 +179,35 @@ def _fp8_gemm_kernel_static(a_ref, as_ref, b_ref, bs_ref, o_ref, *,
     o_ref[:] = acc.astype(out_dtype)
 
 
-def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
-                     nk: int, groups: int, kb_total: int, out_dtype,
-                     mxu_dtype, b_t: bool = False):
-    """Grid (nm, nn, nk); block_k = groups·128.
+def _fp8_gemm_kernel_blocked(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
+                             nk: int, groups: int, kb_total: int, out_dtype,
+                             mxu_dtype, b_t: bool = False):
+    """Grid (nm, nn, nk) with PER-STEP scale blocks — the default nk > 1
+    accum kernel.
 
-    a_ref: (bm, bk) fp8 | as_ref: (bm, kb_total) f32 — FULL scale panel
-    b_ref: (bk, bn) fp8 | bs_ref: (kb_total, bn) f32 (lane-pre-expanded)
+    a_ref: (bm, bk) fp8 | as_ref: (1, bm, groups) f32 — THIS k-step's A scales
+    b_ref: (bk, bn) / (bn, bk) fp8 | bs_ref: (1, groups, bn) f32
 
-    Mosaic requires the last block dim to be lane-aligned or the full array
-    dim, so the scale panels ride along whole (their block index is constant
-    in k → fetched once per output tile, not per k step). Per-step selection:
-    A-scales via a one-hot mini-dot (lane-dim dynamic slicing is not
-    supported), B-scales via a dynamic sublane slice.
-    """
+    The round-1 kernel kept FULL scale panels resident and selected each
+    k-step's rows with one-hot mini-dots, because lane-dim dynamic slicing
+    has no Mosaic lowering. Reshaping the
+    panels on the host to (nk, bm, groups) / (nk, groups, bn) instead lets
+    the BlockSpec k-index deliver each step's scale block directly — every
+    in-kernel slice is then STATIC, the same property that makes the
+    nk == 1 kernel the fast path (175 vs 162 TF/s at 4096³). A ``groups``
+    last/sublane block dim is Mosaic-legal because it equals the full
+    array dim. Scale traffic grows from one panel per output tile to one
+    tiny block per k-step — (bm + bn)·groups·4 B, noise next to the fp8
+    operand blocks."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _zero():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    kb_pad = as_ref.shape[1]
-    # One-hot selector E[r, g] = (r == k·groups + g): (kb_pad, groups).
-    row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
-    sel = (row == k * groups + col).astype(jnp.float32)
-    # (bm, groups): column g holds a_scale[:, k·groups+g]; overrun groups
-    # select nothing → exact zeros (masks the ragged tail for free).
-    # HIGHEST precision: the MXU's default 1-pass bf16 f32 matmul would
-    # round the scales to ~2^-8 — this dot must be value-exact.
-    s_a_all = jnp.dot(as_ref[:], sel, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    # (groups, bn) via the same one-hot dot — dynamic sublane slices need a
-    # provably 8-aligned start, which fails for groups < 8 (bk = 512).
-    # Overrun rows select nothing → exact zeros.
-    rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 1)
-    cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_pad), 0)
-    selT = (rT == k * groups + cT).astype(jnp.float32)
-    s_b_all = jnp.dot(selT, bs_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-
-    ragged = nk * groups != kb_total  # block_k doesn't divide k
+    s_a_all = as_ref[0]          # (bm, groups) f32
+    s_b_all = bs_ref[0]          # (groups, bn) f32
+    ragged = nk * groups != kb_total
     for g in range(groups):
         a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
         b_g = (b_ref[:, g * BLOCK:(g + 1) * BLOCK] if b_t
@@ -227,14 +215,10 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         if mxu_dtype is not None:
             a_g = a_g.astype(mxu_dtype)
             b_g = b_g.astype(mxu_dtype)
-        s_a = s_a_all[:, g:g + 1]          # (bm, 1) f32
-        s_b = s_b_all[g:g + 1, :]          # (1, bn) f32
         if ragged:
-            # Global K-group index may overrun kb_total on the last grid
-            # step; zero the whole contribution. Mask BOTH dot inputs (OOB
-            # fp8 garbage can decode to NaN and 0 × NaN = NaN). The scale
-            # rows need no mask: the one-hot selectors index past the
-            # unpadded panels and therefore select exact zeros.
+            # Last grid step may overrun kb_total; zero BOTH dot inputs
+            # (OOB fp8 garbage can decode to NaN; 0 × NaN = NaN). The
+            # zero-padded scale blocks alone would not save a NaN product.
             valid = k * groups + g < kb_total
             a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
             b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
@@ -243,7 +227,7 @@ def _fp8_gemm_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
                                 preferred_element_type=jnp.float32)
         # Dequant-in-accumulator: scales applied in f32, matching the
         # emulated-dequant golden to bf16-free precision.
-        acc_ref[:] += p * s_a * s_b
+        acc_ref[:] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
 
     @pl.when(k == nk - 1)
     def _store():
@@ -367,14 +351,46 @@ def fp8_gemm_with_config(
             **params,
         )(a_q, a_scales.astype(jnp.float32), b_q, b_scales_expanded)
 
-    kfn = {"accum": _fp8_gemm_kernel,
-           "folded": _fp8_gemm_kernel_folded}[scale_mode]
-    kernel = functools.partial(
-        kfn, nk=nk, groups=groups, kb_total=kb,
-        out_dtype=out_dtype, mxu_dtype=mxu_dtype, b_t=b_t)
-
     b_map3 = ((lambda i, j, kk: (j, kk)) if b_t
               else (lambda i, j, kk: (kk, j)))
+
+    if scale_mode == "accum":
+        # Reshape the scale panels so the grid's k index addresses each
+        # step's scale block (see _fp8_gemm_kernel_blocked): zero-pad kb to
+        # nk·groups (zero scales ⇒ zero contribution; the kernel still
+        # masks the fp8 operands against NaN), then split the k-block axis
+        # out front.
+        kb_pad = nk * groups
+        a_sc = a_scales.astype(jnp.float32)
+        b_sc = b_scales_expanded
+        if kb_pad != kb:
+            a_sc = jnp.pad(a_sc, ((0, 0), (0, kb_pad - kb)))
+            b_sc = jnp.pad(b_sc, ((0, kb_pad - kb), (0, 0)))
+        a_sc3 = jnp.moveaxis(a_sc.reshape(m, nk, groups), 1, 0)
+        b_sc3 = b_sc.reshape(nk, groups, n)
+        kernel = functools.partial(
+            _fp8_gemm_kernel_blocked, nk=nk, groups=groups, kb_total=kb,
+            out_dtype=out_dtype, mxu_dtype=mxu_dtype, b_t=b_t)
+        return pl.pallas_call(
+            kernel,
+            grid=(nm, nn, nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((1, bm, groups), lambda i, j, kk: (kk, i, 0)),
+                pl.BlockSpec(b_block, b_map3),
+                pl.BlockSpec((1, groups, bn), lambda i, j, kk: (kk, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            cost_estimate=cost,
+            interpret=interpret,
+            **params,
+        )(a_q, a_sc3, b_q, b_sc3)
+
+    kernel = functools.partial(
+        _fp8_gemm_kernel_folded, nk=nk, groups=groups, kb_total=kb,
+        out_dtype=out_dtype, mxu_dtype=mxu_dtype, b_t=b_t)
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),

@@ -72,7 +72,13 @@ def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
     """Contiguous grouped GEMM step. Grid (nm, nn, nk).
 
     gid_ref: (nm,) int32 scalar-prefetch — expert id per m tile (-1 = pad).
-    b_ref block: (1, bk, bn) of (E, K, N); bs_ref block: (1, kb_pad, bn).
+    b_ref block: (1, bk, bn) of (E, K, N).
+
+    Scale panels arrive PRE-SPLIT by k-block — as_ref (1, bm, groups) of
+    (nk, M, groups), bs_ref (1, 1, groups, bn) of (E, nk, groups, N) — so
+    every in-kernel scale slice is static (same blocked-scale layout as the
+    dense twin, ops/fp8_gemm.py ``_fp8_gemm_kernel_blocked``; replaces the
+    round-1 one-hot selection dots, which cost ~8% at 4096³).
     """
     i = pl.program_id(0)
     k = pl.program_id(2)
@@ -84,44 +90,20 @@ def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
     @pl.when(active)
     def _compute():
-        if nk > 1:
-            # Scale selection per dynamic k step via one-hot dots (dynamic
-            # sublane slices need provably 8-aligned starts, impossible for
-            # groups < 8); overrun groups select exact zeros.
-            kb_pad = as_ref.shape[1]
-            row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
-            sel = (row == k * groups + col).astype(jnp.float32)
-            s_a_all = jnp.dot(as_ref[:], sel,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-            kb_rows = bs_ref.shape[1]
-            rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
-            cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
-            selT = (rT == k * groups + cT).astype(jnp.float32)
-            s_b_all = jnp.dot(selT, bs_ref[0],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+        s_a_all = as_ref[0]          # (bm, groups)
+        s_b_all = bs_ref[0, 0]       # (groups, bn)
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
             b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
-            if nk > 1:
-                s_a = s_a_all[:, g:g + 1]
-                s_b = s_b_all[g:g + 1, :]
-            else:
-                # nk == 1: g is the global K-group index (a compile-time
-                # constant) → static scale slices, no one-hot (measured 175
-                # vs 162 TF/s on the dense twin, ops/fp8_gemm.py).
-                s_a = as_ref[:, g:g + 1]
-                s_b = bs_ref[0, g:g + 1, :]
             if ragged:
+                # Overrun groups: zero BOTH dot inputs (OOB fp8 garbage can
+                # be NaN; the zero-padded scales alone cannot save NaN·0).
                 valid = k * groups + g < kb_total
                 a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
                 b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-                s_b = jnp.where(valid, s_b, 0.0)
             p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
-            acc_ref[:] += p * s_a * s_b
+            acc_ref[:] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
 
     @pl.when(k == nk - 1)
     def _store():
@@ -142,8 +124,17 @@ def _grouped_contiguous_call(
     groups = bk // BLOCK
     nm, nn, nk = m // bm, ceil_div(n, bn), ceil_div(k, bk)
     kb_pad = nk * groups
+    a_sc = a_scales.astype(jnp.float32)
     if kb_pad > kb:
+        # Zero-padded scale groups: zero contribution (the kernel still
+        # masks the fp8 operands against NaN).
+        a_sc = jnp.pad(a_sc, ((0, 0), (0, kb_pad - kb)))
         bs_exp = jnp.pad(bs_exp, ((0, 0), (0, kb_pad - kb), (0, 0)))
+    # Blocked scale layout (see _grouped_kernel): k-block axis out front so
+    # the grid index delivers each step's scale block.
+    a_sc3 = jnp.moveaxis(a_sc.reshape(m, nk, groups), 1, 0)
+    e_b = bs_exp.shape[0]
+    bs4 = bs_exp.reshape(e_b, nk, groups, bs_exp.shape[2])
 
     kernel = functools.partial(
         _grouped_kernel, nk=nk, groups=groups, kb_total=kb,
@@ -156,11 +147,12 @@ def _grouped_contiguous_call(
         grid=(nm, nn, nk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk, gid: (i, kk)),
-            pl.BlockSpec((bm, kb), lambda i, j, kk, gid: (i, 0)),
+            pl.BlockSpec((1, bm, groups), lambda i, j, kk, gid: (kk, i, 0)),
             pl.BlockSpec((1, bk, bn),
                          lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk, j)),
-            pl.BlockSpec((1, kb_pad, bn),
-                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), 0, j)),
+            pl.BlockSpec((1, 1, groups, bn),
+                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk, 0,
+                                                j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, gid: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -175,7 +167,7 @@ def _grouped_contiguous_call(
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         interpret=interpret,
         **params,
-    )(tile_gids, a_q, a_scales.astype(jnp.float32), b_q, bs_exp)
+    )(tile_gids, a_q, a_sc3, b_q, bs4)
 
 
 def m_grouped_gemm_contiguous(
@@ -251,7 +243,10 @@ def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
     """Masked grouped GEMM step. Grid (E, nm, nn, nk).
 
     mask_ref: (E,) int32 scalar-prefetch — valid row count per expert.
-    Blocks carry a leading expert dim of 1.
+    Blocks carry a leading expert dim of 1. Scale panels arrive pre-split
+    by k-block — as_ref (1, 1, bm, groups) of (E, nk, M_max, groups),
+    bs_ref (1, 1, groups, bn) of (E, nk, groups, N) — static in-kernel
+    slices, no one-hot (see ops/fp8_gemm.py ``_fp8_gemm_kernel_blocked``).
     """
     e = pl.program_id(0)
     i = pl.program_id(1)
@@ -264,39 +259,18 @@ def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
     @pl.when(active)
     def _compute():
-        if nk > 1:
-            kb_pad = as_ref.shape[2]
-            row = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (kb_pad, groups), 1)
-            sel = (row == k * groups + col).astype(jnp.float32)
-            s_a_all = jnp.dot(as_ref[0], sel,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-            kb_rows = bs_ref.shape[1]
-            rT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 1)
-            cT = jax.lax.broadcasted_iota(jnp.int32, (groups, kb_rows), 0)
-            selT = (rT == k * groups + cT).astype(jnp.float32)
-            s_b_all = jnp.dot(selT, bs_ref[0],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+        s_a_all = as_ref[0, 0]       # (bm, groups)
+        s_b_all = bs_ref[0, 0]       # (groups, bn)
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[0, :, g * BLOCK:(g + 1) * BLOCK]
             b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
-            if nk > 1:
-                s_a = s_a_all[:, g:g + 1]
-                s_b = s_b_all[g:g + 1, :]
-            else:
-                # Static scale slices (see the dense twin, ops/fp8_gemm.py).
-                s_a = as_ref[0, :, g:g + 1]
-                s_b = bs_ref[0, g:g + 1, :]
             if ragged:
                 valid = k * groups + g < kb_total
                 a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
                 b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-                s_b = jnp.where(valid, s_b, 0.0)
             p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
-            acc_ref[:] += p * s_a * s_b
+            acc_ref[:] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
 
     @pl.when(k == nk - 1)
     def _store():
@@ -320,8 +294,13 @@ def _grouped_masked_call(
     groups = bk // BLOCK
     nm, nn, nk = ceil_div(m_max, bm), ceil_div(n, bn), ceil_div(k, bk)
     kb_pad = nk * groups
+    a_sc = a_scales.astype(jnp.float32)
     if kb_pad > kb:
+        a_sc = jnp.pad(a_sc, ((0, 0), (0, 0), (0, kb_pad - kb)))
         bs_exp = jnp.pad(bs_exp, ((0, 0), (0, kb_pad - kb), (0, 0)))
+    # Blocked scale layout (see _masked_kernel): k-block axis after E.
+    a_sc4 = jnp.moveaxis(a_sc.reshape(e, m_max, nk, groups), 2, 1)
+    bs4 = bs_exp.reshape(e, nk, groups, bs_exp.shape[2])
 
     kernel = functools.partial(
         _masked_kernel, nk=nk, groups=groups, kb_total=kb, bm=bm,
@@ -331,9 +310,11 @@ def _grouped_masked_call(
         grid=(e, nm, nn, nk),
         in_specs=[
             pl.BlockSpec((1, bm, bk), lambda g, i, j, kk, mm: (g, i, kk)),
-            pl.BlockSpec((1, bm, kb), lambda g, i, j, kk, mm: (g, i, 0)),
+            pl.BlockSpec((1, 1, bm, groups),
+                         lambda g, i, j, kk, mm: (g, kk, i, 0)),
             pl.BlockSpec((1, bk, bn), lambda g, i, j, kk, mm: (g, kk, j)),
-            pl.BlockSpec((1, kb_pad, bn), lambda g, i, j, kk, mm: (g, 0, j)),
+            pl.BlockSpec((1, 1, groups, bn),
+                         lambda g, i, j, kk, mm: (g, kk, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, bm, bn), lambda g, i, j, kk, mm: (g, i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -349,7 +330,7 @@ def _grouped_masked_call(
         out_shape=jax.ShapeDtypeStruct((e, m_max, n), out_dtype),
         interpret=interpret,
         **params,
-    )(masked_m, a_q, a_scales.astype(jnp.float32), b_q, bs_exp)
+    )(masked_m, a_q, a_sc4, b_q, bs4)
 
 
 def m_grouped_gemm_masked(
