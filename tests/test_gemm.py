@@ -128,6 +128,18 @@ def test_gemm_out_dtype_bf16():
     assert out.dtype == jnp.bfloat16
 
 
+def test_gemm_fp16_inputs():
+    """The reference's second dtype ("half" in FILE_EXEC,
+    `generate_code.hpp:123-369`): the dtype-agnostic kernel must accept
+    fp16 operands with fp32 accumulation."""
+    a, b, _ = golden.gen_golden_gemm(48, 96, 160, seed=5)
+    a16, b16 = np.asarray(a, np.float16), np.asarray(b, np.float16)
+    out = dga.gemm(jnp.asarray(a16), jnp.asarray(b16))
+    assert out.dtype == jnp.float32
+    ref = np.matmul(a16.astype(np.float32), b16.astype(np.float32))
+    assert verify.verify(np.asarray(out), ref, rtol=2e-2, atol=2e-2).ok
+
+
 def test_gemm_shape_errors():
     a = jnp.zeros((4, 8))
     b = jnp.zeros((9, 4))
