@@ -22,7 +22,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # op → (in_dtype, out_dtype, k_granularity) as the selector keys them.
 OP_KEYING = {
     "fp8_gemm": ("float8_e4m3fn", "bfloat16", 128),
+    "fp8_gemm_nt": ("float8_e4m3fn", "bfloat16", 128),
     "gemm": ("bfloat16", "float32", 128),
+    "gemm_nt": ("bfloat16", "float32", 128),
+    "gemm_tn": ("bfloat16", "float32", 128),
+    "gemm_tt": ("bfloat16", "float32", 128),
+    # MoE prefill sweeps record under the runtime key (m = layout block_m)
+    "grouped_gemm": ("float8_e4m3fn", "bfloat16", 128),
     "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16", 128),
     # legacy sweep records written before the op-key fix
     "grouped_masked": ("float8_e4m3fn", "bfloat16", 128),

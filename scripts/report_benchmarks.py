@@ -34,7 +34,12 @@ def main(argv=None) -> int:
     info = plat.detect()
     device = args.device or info.device_kind
     op_dtypes = {"gemm": ("bfloat16", "float32"),
+                 "gemm_nt": ("bfloat16", "float32"),
+                 "gemm_tn": ("bfloat16", "float32"),
+                 "gemm_tt": ("bfloat16", "float32"),
                  "fp8_gemm": ("float8_e4m3fn", "bfloat16"),
+                 "fp8_gemm_nt": ("float8_e4m3fn", "bfloat16"),
+                 "grouped_gemm": ("float8_e4m3fn", "bfloat16"),
                  "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16"),
                  "grouped_masked": ("float8_e4m3fn", "bfloat16")}
 
