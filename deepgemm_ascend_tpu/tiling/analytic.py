@@ -201,9 +201,12 @@ def select_kernel_type(
 
     ≙ ``SelectKernel`` first-match chain (`select_kernel.cpp:333-369`):
     small → stream-k → padding → common. TPU drops the padding family
-    (BlockSpec masks tails) and gates KSPLIT on megacore utilisation: with a
-    single TensorCore the grid is sequential and split-K only adds reduce
-    traffic.
+    (BlockSpec masks tails) and gates KSPLIT on megacore utilisation.
+    On-chip evidence for the 1-core gate (v5e, autotune_results_r3
+    ``--inject-ksplit`` rows): split-K there is NEUTRAL, not harmful —
+    best KSPLIT vs best COMMON within ±2% on long-K/small-MN shapes
+    (64×512×16384: +1%; 64×7168×16384: +2%; 8×7168×18432: −2%) — so
+    COMMON is kept: same speed, no (k_split, m, n) f32 partials buffer.
 
     The split count is workload-balanced: on TPU the megacore splitter —
     not the program — assigns grid slices to cores, so the reference's
@@ -212,8 +215,7 @@ def select_kernel_type(
     expressible. The expressible equivalent minimizes the same objective it
     balances: per-core makespan ``ceil(parallel_work/cores) · k_steps_per
     _split``, searched over split counts (ties → fewer partials, i.e. less
-    f32 reduce traffic). A 1-core part never selects KSPLIT — sweep
-    evidence in docs/BENCHMARKS.md (ksplit rows) backs the gate.
+    f32 reduce traffic).
     """
     nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
     if nm == 1 and nn == 1 and nk == 1:
