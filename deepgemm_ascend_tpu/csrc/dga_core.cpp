@@ -80,7 +80,12 @@ double estimate_time(int64_t m, int64_t n, int64_t k, int64_t bm, int64_t bn,
   double memory_s = (a_bytes + b_bytes + c_bytes) / (p.hbm_gbps * 1e9);
   double steps = 1.0 * nm * nn * nk;
   double startup = 3e-6 + 1e-7 * steps;
-  return std::max(compute_s, memory_s) + startup;
+  // == analytic._VMEM_GBPS accumulator-RMW term: K-blocked grids pay a
+  // per-step scratch read-modify-write (nk == 1 accumulates in registers);
+  // charged to the compute side so memory-bound shapes hide it.
+  double acc_rmw_s = 0.0;
+  if (nk > 1) acc_rmw_s = steps * (2.0 * bm * bn * 4) / (1300.0 * 1e9);
+  return std::max(compute_s + acc_rmw_s, memory_s) + startup;
 }
 
 const int64_t kBmCaps[] = {16, 32, 64, 128, 256, 512, 1024};

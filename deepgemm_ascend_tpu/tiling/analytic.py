@@ -34,6 +34,9 @@ from . import platform as plat
 # (`op_tiling/utils.cpp:28-47`) being checked against full capacity while
 # L0C had its own slack.
 VMEM_FRACTION = 0.8
+# Effective VMEM scratch bandwidth for the accumulator RMW term in
+# estimate_time (fit to the 4096³ fp8 nk-cliff measurements; see there).
+_VMEM_GBPS = 1300.0
 
 
 def vmem_footprint(
@@ -137,7 +140,19 @@ def estimate_time(
     # Pipeline can't hide whichever is smaller; small grids underutilize.
     steps = nm * nn * nk
     startup = 3e-6 + 1e-7 * steps  # launch + per-step grid overhead
-    return _Estimate(max(compute_s, memory_s) + startup, compute_s, memory_s, vmem)
+    # K-blocked grids (nk > 1) pay a per-step accumulator read-modify-write
+    # in VMEM scratch; the nk == 1 fp8 kernel accumulates in registers and
+    # stores once. On-chip evidence (4096³ fp8): (512,512,2048) 145 TF/s vs
+    # (512,512,4096) 175 — the 164 µs gap over 64 extra grid steps matches
+    # the 2·bm·bn·4 B VMEM round trip per step at ~1.3 TB/s. Charged to the
+    # COMPUTE side: on memory-bound shapes the RMW hides behind the HBM
+    # stream (the swept small-M winners keep small bk), on compute-bound
+    # ones it serializes with the MXU dependency chain.
+    acc_rmw_s = 0.0
+    if nk > 1:
+        acc_rmw_s = steps * (2.0 * bm * bn * 4) / (_VMEM_GBPS * 1e9)
+    return _Estimate(max(compute_s + acc_rmw_s, memory_s) + startup,
+                     compute_s, memory_s, vmem)
 
 
 def _aligned_candidates(dim: int, align: int, caps: Sequence[int]) -> list[int]:

@@ -33,7 +33,7 @@ from ..config import GemmConfig
 from . import analytic
 from . import platform as plat
 
-FEATURES = 6  # m, n, k, bm, bn, bk (log2-scaled)
+FEATURES = 7  # m, n, k, bm, bn, bk (log2-scaled) + full-K kernel-family bit
 DEFAULT_HIDDEN = (64, 128, 64)
 MIN_CANDIDATES = 60        # ≙ min_tiling (`get_best_config.py:44`)
 NATIVE_MARGIN = 0.03       # ≙ 3% fallback margin (`get_best_config.py:601`)
@@ -41,12 +41,17 @@ MAX_BATCH = 2048           # ≙ predict_batch cap (`get_best_config.py:309`)
 
 
 def _features(m, n, k, tiles: np.ndarray) -> np.ndarray:
-    """(N, 6) log2 feature matrix — ≙ build_feature_matrix
-    (`get_best_config.py:281`)."""
+    """(N, 7) feature matrix — ≙ build_feature_matrix
+    (`get_best_config.py:281`) plus a full-K indicator: ``block_k ≥ K``
+    switches the fp8 kernel to the single-step static-scale family
+    (ops/fp8_gemm.py), a measured ~25% discontinuity a smooth MLP cannot
+    learn from log-block features alone (it ranked (1024,256,512) above
+    (1024,256,4096) at 4096³: 132 vs 175 TF/s on chip)."""
     shape = np.log2(np.asarray([m, n, k], np.float64) + 1.0)
     out = np.empty((len(tiles), FEATURES), np.float64)
     out[:, :3] = shape
-    out[:, 3:] = np.log2(tiles.astype(np.float64))
+    out[:, 3:6] = np.log2(tiles.astype(np.float64))
+    out[:, 6] = (tiles[:, 2] >= k).astype(np.float64)
     return out
 
 
@@ -103,6 +108,7 @@ class TilingPredictor:
                  min_candidates: int = MIN_CANDIDATES,
                  margin: float = NATIVE_MARGIN,
                  guard_factor: float = 1.25,
+                 candidate_pool: int = 48,
                  op: str = "gemm"):
         if strategy not in ("greedy", "topk_median", "topk_consensus"):
             raise ValueError(f"unknown strategy {strategy!r}")
@@ -111,6 +117,7 @@ class TilingPredictor:
         self.min_candidates = min_candidates
         self.margin = margin
         self.guard_factor = guard_factor
+        self.candidate_pool = candidate_pool
         self.op = op
 
     def predict_batch(self, feats: np.ndarray) -> np.ndarray:
@@ -145,12 +152,24 @@ class TilingPredictor:
         """Best config by predicted time, or None to decline (fallback)."""
         if op != self.op:
             return None
+        if self.weights.mean.shape[0] != FEATURES:
+            return None   # stale weights (older feature schema) → decline
         info = plat.detect()
         a_i = np.dtype(in_dtype).itemsize
         o_i = np.dtype(out_dtype).itemsize
         cands = analytic.enumerate_candidates(m, n, k, a_i, a_i, o_i, info)
         if len(cands) < self.min_candidates:
             return None
+        # Rank only the analytically-plausible pool (≙ the reference's
+        # filter_parameters pre-filter, `catlass_parameter.py:308`): the
+        # autotuner sweeps exactly this prefix, so it is also the region
+        # the MLP has training coverage for — outside it the model
+        # extrapolates optimistically (observed: small-bm tiles at large M
+        # predicted 2-4× faster than physically possible).
+        if len(cands) > self.candidate_pool:
+            cands.sort(key=lambda t: analytic.estimate_time(
+                m, n, k, *t, a_i, a_i, o_i, info, in_dtype).time_s)
+            cands = cands[:self.candidate_pool]
         tiles = np.asarray(cands, np.int64)
         # MLP emits log-time; compare in the time domain so the margin rule
         # is scale-correct (log outputs may be negative).
@@ -242,8 +261,10 @@ def load_sweep_records(paths: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     if not feats:
         return np.zeros((0, FEATURES)), np.zeros((0,))
     arr = np.asarray(feats, np.float64)
-    f = _features(1, 1, 1, arr[:, 3:])  # tile part
+    f = np.empty((len(arr), FEATURES), np.float64)
     f[:, :3] = np.log2(arr[:, :3] + 1.0)
+    f[:, 3:6] = np.log2(arr[:, 3:6])
+    f[:, 6] = (arr[:, 5] >= arr[:, 2]).astype(np.float64)
     return f, np.log(np.asarray(times, np.float64))
 
 

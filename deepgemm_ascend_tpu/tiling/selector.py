@@ -57,7 +57,9 @@ def _maybe_enable_default_predictor() -> None:
     if (not os.environ.get(DEFAULT_WEIGHTS_ENV)
             and plat.detect().device_kind != "tpu v5e"):
         return   # packaged weights are v5e-swept; wrong device → stay tier-3
-    enable_default_predictor(op="fp8_gemm")
+    # greedy: best held-out pick/oracle in the round-2 sweep-trained report
+    # (scripts/train_predictor.py --holdout: mean 1.08, p90 1.20).
+    enable_default_predictor(op="fp8_gemm", strategy="greedy")
 
 
 def select_config(
