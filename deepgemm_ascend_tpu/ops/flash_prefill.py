@@ -154,14 +154,22 @@ def flash_prefill_gqa(
     start: jax.Array,      # (b,) int32 — absolute position of q row 0
     seq_lens: jax.Array,   # (b,) int32 — valid cache length (incl. prompt)
     *,
-    block_q: int = 256,
-    block_s: int = 256,
+    block_q: int = 512,
+    block_s: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Causal GQA prefill over the int8 cache. Returns (b, s, heads, hd) f32.
 
     Query row i of batch b is at absolute position start[b] + i and attends
     cache positions t with ``t <= start[b] + i`` and ``t < seq_lens[b]``.
+
+    Default blocks are on-chip-tuned (scripts/tune_flash_prefill.py, v5e,
+    b=8 s=512 S=2048): like the decode kernel, per-(batch, head) cache DMAs
+    must be LARGE to reach HBM bandwidth on the single sequential
+    TensorCore — (512, 2048) streams at 101 GB/s vs 28.9 for the previous
+    (256, 256) default (3.5× faster end-to-end on that case). Both degrade
+    gracefully: block_q falls to the largest 16-multiple dividing s,
+    block_s to the largest 128-multiple dividing S.
     """
     b, s, heads, hd = q.shape
     _, kvh, s_max, _ = k_q.shape

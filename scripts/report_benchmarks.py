@@ -107,6 +107,14 @@ def main(argv=None) -> int:
     text = "\n".join(lines) + "\n"
     if args.out:
         os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        # Preserve hand-maintained sections (serving numbers etc.): keep
+        # everything from the first second-level heading of the existing
+        # file — the generator owns only the sweep table above it.
+        if os.path.exists(args.out):
+            old = open(args.out).read()
+            idx = old.find("\n## ")
+            if idx != -1:
+                text = text.rstrip("\n") + "\n" + old[idx:]
         with open(args.out, "w") as f:
             f.write(text)
         print(f"wrote {args.out} ({len(best)} shapes)")
