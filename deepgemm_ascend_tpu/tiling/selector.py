@@ -57,9 +57,10 @@ def _maybe_enable_default_predictor() -> None:
     if (not os.environ.get(DEFAULT_WEIGHTS_ENV)
             and plat.detect().device_kind != "tpu v5e"):
         return   # packaged weights are v5e-swept; wrong device → stay tier-3
-    # greedy: best held-out pick/oracle in the round-2 sweep-trained report
-    # (scripts/train_predictor.py --holdout: mean 1.08, p90 1.20).
-    enable_default_predictor(op="fp8_gemm", strategy="greedy")
+    # topk_median: best held-out metrics on the final round-2 training set
+    # (scripts/train_predictor.py --holdout: pick/oracle mean 1.09,
+    # win-rate vs analytic 0.63 on 1311 records / 81 shapes).
+    enable_default_predictor(op="fp8_gemm", strategy="topk_median")
 
 
 def select_config(
