@@ -1,5 +1,6 @@
 from .attention import AttentionParams, KVCache, attention
 from .config import (LLAMA_LIKE, TINY, TINY_DENSE, V2_LITE,
+                     V2_LITE_FULL, V3_STYLE,
                      ModelConfig)
 from .layers import BF16Linear, Fp8Linear, rms_norm
 from .loader import (load_params, load_quantized,
@@ -10,7 +11,8 @@ from .moe import ExpertWeights, MoEParams, dispatch_masked, moe_block, route_top
 
 __all__ = [
     "AttentionParams", "KVCache", "attention",
-    "LLAMA_LIKE", "TINY", "TINY_DENSE", "V2_LITE", "ModelConfig",
+    "LLAMA_LIKE", "TINY", "TINY_DENSE", "V2_LITE", "V2_LITE_FULL",
+    "V3_STYLE", "ModelConfig",
     "BF16Linear", "Fp8Linear", "rms_norm",
     "DenseFFN", "LayerParams", "ModelParams", "decode_step", "forward",
     "generate_greedy_scan", "init_cache", "init_params",

@@ -74,6 +74,27 @@ LLAMA_LIKE = ModelConfig(
     top_k=0, moe_intermediate=0, first_dense_layers=8,
     dense_intermediate=5632, max_seq_len=4096)
 
+# Full DeepSeek-V2-Lite geometry (HF deepseek-ai/DeepSeek-V2-Lite, GQA
+# approximation of its MLA): 27 MoE layers over 64+2 experts. Needs a
+# multi-chip mesh for real weights (~16B params fp8); congruent kv-head
+# sharding holds to tp = 16.
+V2_LITE_FULL = ModelConfig(
+    vocab_size=102400, hidden_size=2048, num_layers=27, num_heads=16,
+    num_kv_heads=16, head_dim=128, num_experts=64, num_shared_experts=2,
+    top_k=6, moe_intermediate=1408, first_dense_layers=1,
+    dense_intermediate=10944, max_seq_len=4096)
+
+# DeepSeek-V3/R1-scale geometry (config.json of deepseek-ai/DeepSeek-V3,
+# GQA stand-in for MLA): serving it takes a pod-scale mesh — ep up to 32
+# (256 % ep == 0), tp up to 16 under the congruent-kv rule, dp over hosts.
+# Here as the sizing/sharding reference config; the stack is geometry-
+# agnostic (same layers, same kernels).
+V3_STYLE = ModelConfig(
+    vocab_size=129280, hidden_size=7168, num_layers=61, num_heads=128,
+    num_kv_heads=16, head_dim=128, num_experts=256, num_shared_experts=1,
+    top_k=8, moe_intermediate=2048, first_dense_layers=3,
+    dense_intermediate=18432, max_seq_len=8192)
+
 TINY_DENSE = ModelConfig(
     vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
     num_kv_heads=2, head_dim=64, num_experts=0, num_shared_experts=0,

@@ -155,3 +155,21 @@ def test_dense_family_decodes_and_generates():
                                  cfg)
     assert logits.shape == (2, cfg.vocab_size)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_fullsize_config_geometry():
+    """The full DeepSeek-V2-Lite and V3-scale geometry configs must respect
+    every sharding/kernel contract the stack assumes: 128-lane q/kv dims,
+    congruent kv-head sharding up to tp=16, expert counts divisible by the
+    ep axes the mesh builder offers, and flash-legal head_dim."""
+    from deepgemm_ascend_tpu.models import V2_LITE_FULL, V3_STYLE
+    for cfg in (V2_LITE_FULL, V3_STYLE):
+        assert cfg.q_dim % 128 == 0 and cfg.kv_dim % 128 == 0
+        assert cfg.head_dim == 128
+        assert cfg.num_heads % cfg.num_kv_heads == 0
+        for tp in (2, 4, 8, 16):
+            assert cfg.num_kv_heads % tp == 0
+            assert (cfg.kv_dim // tp) % 128 == 0
+            assert cfg.num_heads % tp == 0
+        for ep in (2, 4, 8):
+            assert cfg.num_experts % ep == 0
