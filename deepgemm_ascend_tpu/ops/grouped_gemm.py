@@ -68,11 +68,15 @@ def make_contiguous_layout(
 
 
 def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
-                    nk: int, groups: int, kb_total: int, out_dtype):
+                    nk: int, groups: int, kb_total: int, out_dtype,
+                    b_t: bool = False):
     """Contiguous grouped GEMM step. Grid (nm, nn, nk).
 
     gid_ref: (nm,) int32 scalar-prefetch — expert id per m tile (-1 = pad).
-    b_ref block: (1, bk, bn) of (E, K, N).
+    b_ref block: (1, bk, bn) of (E, K, N) — or (1, bn, bk) of (E, N, K) when
+    ``b_t`` (DeepGEMM's native NT grouped layout, K-major expert weights;
+    the dot contracts B's lane dim, no HBM transpose — same convention as
+    the dense twin's ``b_layout='t'``).
 
     Scale panels arrive PRE-SPLIT by k-block — as_ref (1, bm, groups) of
     (nk, M, groups), bs_ref (1, 1, groups, bn) of (E, nk, groups, N) — so
@@ -95,14 +99,17 @@ def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[:, g * BLOCK:(g + 1) * BLOCK]
-            b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
+            b_g = (b_ref[0, :, g * BLOCK:(g + 1) * BLOCK] if b_t
+                   else b_ref[0, g * BLOCK:(g + 1) * BLOCK, :])
             if ragged:
                 # Overrun groups: zero BOTH dot inputs (OOB fp8 garbage can
                 # be NaN; the zero-padded scales alone cannot save NaN·0).
                 valid = k * groups + g < kb_total
                 a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
                 b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-            p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+            p = jax.lax.dot_general(
+                a_g, b_g, (((1,), (1 if b_t else 0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             acc_ref[:] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
 
     @pl.when(k == nk - 1)
@@ -111,11 +118,15 @@ def _grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+    jax.jit, static_argnames=("config", "out_dtype", "interpret", "b_t"))
 def _grouped_contiguous_call(
-    tile_gids, a_q, a_scales, b_q, bs_exp, *, config, out_dtype, interpret):
+    tile_gids, a_q, a_scales, b_q, bs_exp, *, config, out_dtype, interpret,
+    b_t=False):
     m, k = a_q.shape
-    e, _, n = b_q.shape
+    if b_t:
+        e, n, _ = b_q.shape
+    else:
+        e, _, n = b_q.shape
     kb = k // BLOCK
     bm, bn, bk = config.block_m, min(config.block_n, n), min(config.block_k, k)
     if bn % BLOCK or bk % BLOCK:
@@ -138,8 +149,11 @@ def _grouped_contiguous_call(
 
     kernel = functools.partial(
         _grouped_kernel, nk=nk, groups=groups, kb_total=kb,
-        out_dtype=out_dtype)
+        out_dtype=out_dtype, b_t=b_t)
 
+    b_block = (1, bn, bk) if b_t else (1, bk, bn)
+    b_map = ((lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), j, kk)) if b_t
+             else (lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk, j)))
     # Clamp -1 (padding) to 0 for the weight index maps; the kernel skips
     # compute and zeroes the output for those tiles.
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -148,8 +162,7 @@ def _grouped_contiguous_call(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk, gid: (i, kk)),
             pl.BlockSpec((1, bm, groups), lambda i, j, kk, gid: (kk, i, 0)),
-            pl.BlockSpec((1, bk, bn),
-                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk, j)),
+            pl.BlockSpec(b_block, b_map),
             pl.BlockSpec((1, 1, groups, bn),
                          lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk, 0,
                                                 j)),
@@ -181,6 +194,7 @@ def m_grouped_gemm_contiguous(
     config: Optional[GemmConfig] = None,
     interpret: Optional[bool] = None,
     b_scales_expanded: bool = False,
+    b_layout: str = "n",
 ) -> jax.Array:
     """Contiguous grouped FP8 GEMM (MoE prefill).
 
@@ -189,21 +203,44 @@ def m_grouped_gemm_contiguous(
     b_scales: (E, K/128, N/128) f32; tile_group_ids: (M_total/block_m,) int32
     expert id per m-tile, -1 for padding tiles. Returns (M_total, N).
     Use :func:`make_contiguous_layout` to plan the layout.
+
+    ``b_layout='t'``: b_q (E, N, K) with b_scales (E, N/128, K/128) —
+    DeepGEMM's native ``m_grouped_gemm_fp8_fp8_bf16_nt_contiguous``
+    convention (K-major expert weights, no HBM transpose at load).
     """
+    if b_layout not in ("n", "t"):
+        raise ValueError(f"b_layout must be 'n' or 't', got {b_layout!r}")
+    b_t = b_layout == "t"
+    if b_t and b_scales_expanded:
+        raise ValueError("b_layout='t' requires unexpanded (E, N/128, K/128) "
+                         "b_scales")
     m, k = a_q.shape
-    e, k2, n = b_q.shape
+    if b_t:
+        e, n, k2 = b_q.shape
+    else:
+        e, k2, n = b_q.shape
     if k != k2 or k % BLOCK or n % BLOCK:
         raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape} "
-                         f"(k and n must be multiples of {BLOCK})")
+                         f"(b_layout={b_layout}; k and n must be multiples "
+                         f"of {BLOCK})")
     n_tiles = jnp.shape(tile_group_ids)[0]  # static even under tracing
+    if b_t:
+        # Scale panel keeps the (E, kb, n) layout either way: transpose the
+        # tiny per-expert (nb, kb) block tables, then lane-expand.
+        bs_exp = jnp.repeat(
+            jnp.swapaxes(b_scales.astype(jnp.float32), 1, 2), BLOCK,
+            axis=2)[:, :, :n]
+    else:
+        bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
+                  jnp.repeat(b_scales.astype(jnp.float32), BLOCK,
+                             axis=2)[:, :, :n])
     if fp8mod.exact_enabled():
         bm_ex = m // max(n_tiles, 1)
         gid_rows = jnp.repeat(jnp.asarray(tile_group_ids, jnp.int32), bm_ex)
-        bse_ex = (b_scales.astype(jnp.float32) if b_scales_expanded else
-                  jnp.repeat(b_scales.astype(jnp.float32), BLOCK,
-                             axis=2)[:, :, :n])
         a = fp8mod._dequant_a(a_q, a_scales)
-        b = fp8mod._dequant_b(b_q, bse_ex)
+        # For b_t, swapaxes yields (E, K, N) — _dequant_b's layout, and
+        # already the right orientation for the dot below.
+        b = fp8mod._dequant_b(jnp.swapaxes(b_q, 1, 2) if b_t else b_q, bs_exp)
         y = jnp.zeros((m, n), jnp.float32)
         for ei in range(e):  # static expert loop — eval path only
             ye = jnp.dot(a, b[ei], preferred_element_type=jnp.float32,
@@ -212,8 +249,9 @@ def m_grouped_gemm_contiguous(
         return y.astype(out_dtype)
     cfg = selector.select_config(
         max(m // max(n_tiles, 1), 1), n, k,
-        a_q.dtype, out_dtype, op="grouped_gemm", k_granularity=BLOCK,
-        override=config)
+        a_q.dtype, out_dtype,
+        op="grouped_gemm_nt" if b_t else "grouped_gemm",
+        k_granularity=BLOCK, override=config)
     # The layout already fixed block_m (M_total / #tiles,
     # make_contiguous_layout) — an independently-selected block_m would
     # break the tile→expert mapping, so the selector only chooses bn/bk.
@@ -228,25 +266,25 @@ def m_grouped_gemm_contiguous(
     if tile_gids.shape != (ntiles,):
         raise ValueError(
             f"tile_group_ids must be ({ntiles},), got {tile_gids.shape}")
-    kb = k // BLOCK
-    bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
-              jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=2)[:, :, :n])
     if interpret is None:
         interpret = _interpret_default()
     return _grouped_contiguous_call(
         tile_gids, a_q, a_scales, b_q, bs_exp,
-        config=cfg, out_dtype=out_dtype, interpret=interpret)
+        config=cfg, out_dtype=out_dtype, interpret=interpret, b_t=b_t)
 
 
 def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
-                   nk: int, groups: int, kb_total: int, bm: int, out_dtype):
+                   nk: int, groups: int, kb_total: int, bm: int, out_dtype,
+                   b_t: bool = False):
     """Masked grouped GEMM step. Grid (E, nm, nn, nk).
 
     mask_ref: (E,) int32 scalar-prefetch — valid row count per expert.
-    Blocks carry a leading expert dim of 1. Scale panels arrive pre-split
-    by k-block — as_ref (1, 1, bm, groups) of (E, nk, M_max, groups),
-    bs_ref (1, 1, groups, bn) of (E, nk, groups, N) — static in-kernel
-    slices, no one-hot (see ops/fp8_gemm.py ``_fp8_gemm_kernel_blocked``).
+    Blocks carry a leading expert dim of 1. ``b_t``: B stored (E, N, K)
+    (DeepGEMM's native NT masked layout); the dot contracts B's lane dim.
+    Scale panels arrive pre-split by k-block — as_ref (1, 1, bm, groups) of
+    (E, nk, M_max, groups), bs_ref (1, 1, groups, bn) of (E, nk, groups, N)
+    — static in-kernel slices, no one-hot (see ops/fp8_gemm.py
+    ``_fp8_gemm_kernel_blocked``).
     """
     e = pl.program_id(0)
     i = pl.program_id(1)
@@ -264,12 +302,15 @@ def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
         ragged = nk * groups != kb_total
         for g in range(groups):
             a_g = a_ref[0, :, g * BLOCK:(g + 1) * BLOCK]
-            b_g = b_ref[0, g * BLOCK:(g + 1) * BLOCK, :]
+            b_g = (b_ref[0, :, g * BLOCK:(g + 1) * BLOCK] if b_t
+                   else b_ref[0, g * BLOCK:(g + 1) * BLOCK, :])
             if ragged:
                 valid = k * groups + g < kb_total
                 a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
                 b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-            p = jnp.dot(a_g, b_g, preferred_element_type=jnp.float32)
+            p = jax.lax.dot_general(
+                a_g, b_g, (((1,), (1 if b_t else 0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             acc_ref[:] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
 
     @pl.when(k == nk - 1)
@@ -280,11 +321,12 @@ def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+    jax.jit, static_argnames=("config", "out_dtype", "interpret", "b_t"))
 def _grouped_masked_call(
-    masked_m, a_q, a_scales, b_q, bs_exp, *, config, out_dtype, interpret):
+    masked_m, a_q, a_scales, b_q, bs_exp, *, config, out_dtype, interpret,
+    b_t=False):
     e, m_max, k = a_q.shape
-    _, _, n = b_q.shape
+    n = b_q.shape[1] if b_t else b_q.shape[2]
     kb = k // BLOCK
     bm = min(config.block_m, m_max)
     bn, bk = min(config.block_n, n), min(config.block_k, k)
@@ -304,7 +346,10 @@ def _grouped_masked_call(
 
     kernel = functools.partial(
         _masked_kernel, nk=nk, groups=groups, kb_total=kb, bm=bm,
-        out_dtype=out_dtype)
+        out_dtype=out_dtype, b_t=b_t)
+    b_block = (1, bn, bk) if b_t else (1, bk, bn)
+    b_map = ((lambda g, i, j, kk, mm: (g, j, kk)) if b_t
+             else (lambda g, i, j, kk, mm: (g, kk, j)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(e, nm, nn, nk),
@@ -312,7 +357,7 @@ def _grouped_masked_call(
             pl.BlockSpec((1, bm, bk), lambda g, i, j, kk, mm: (g, i, kk)),
             pl.BlockSpec((1, 1, bm, groups),
                          lambda g, i, j, kk, mm: (g, kk, i, 0)),
-            pl.BlockSpec((1, bk, bn), lambda g, i, j, kk, mm: (g, kk, j)),
+            pl.BlockSpec(b_block, b_map),
             pl.BlockSpec((1, 1, groups, bn),
                          lambda g, i, j, kk, mm: (g, kk, 0, j)),
         ],
@@ -344,6 +389,7 @@ def m_grouped_gemm_masked(
     config: Optional[GemmConfig] = None,
     interpret: Optional[bool] = None,
     b_scales_expanded: bool = False,
+    b_layout: str = "n",
 ) -> jax.Array:
     """Masked grouped FP8 GEMM (MoE decode, fixed shapes).
 
@@ -354,19 +400,38 @@ def m_grouped_gemm_masked(
     partially-active tile contain garbage — gather only valid slots, as
     models/moe.py does). Shapes are static across decode steps; only
     contents vary.
+
+    ``b_layout='t'``: b_q (E, N, K) with b_scales (E, N/128, K/128) —
+    DeepGEMM's native ``m_grouped_gemm_fp8_fp8_bf16_nt_masked`` convention.
     """
+    if b_layout not in ("n", "t"):
+        raise ValueError(f"b_layout must be 'n' or 't', got {b_layout!r}")
+    b_t = b_layout == "t"
+    if b_t and b_scales_expanded:
+        raise ValueError("b_layout='t' requires unexpanded (E, N/128, K/128) "
+                         "b_scales")
     e, m_max, k = a_q.shape
-    e2, k2, n = b_q.shape
+    if b_t:
+        e2, n, k2 = b_q.shape
+    else:
+        e2, k2, n = b_q.shape
     if e != e2 or k != k2 or k % BLOCK or n % BLOCK:
         raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape} "
-                         f"(k and n must be multiples of {BLOCK})")
-    bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
-              jnp.repeat(b_scales.astype(jnp.float32), BLOCK, axis=2)[:, :, :n])
+                         f"(b_layout={b_layout}; k and n must be multiples "
+                         f"of {BLOCK})")
+    if b_t:
+        bs_exp = jnp.repeat(
+            jnp.swapaxes(b_scales.astype(jnp.float32), 1, 2), BLOCK,
+            axis=2)[:, :, :n]
+    else:
+        bs_exp = (b_scales.astype(jnp.float32) if b_scales_expanded else
+                  jnp.repeat(b_scales.astype(jnp.float32), BLOCK,
+                             axis=2)[:, :, :n])
     if fp8mod.exact_enabled():
         # Exact emulated-dequant path (fp8mod.exact_mode()) — the model-scale
         # golden; masked rows zeroed to match kernel semantics.
         a = fp8mod._dequant_a(a_q, a_scales)
-        b = fp8mod._dequant_b(b_q, bs_exp)
+        b = fp8mod._dequant_b(jnp.swapaxes(b_q, 1, 2) if b_t else b_q, bs_exp)
         y = jnp.einsum("emk,ekn->emn", a, b,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -374,10 +439,11 @@ def m_grouped_gemm_masked(
         y = jnp.where(rows < jnp.asarray(masked_m)[:, None, None], y, 0.0)
         return y.astype(out_dtype)
     cfg = selector.select_config(
-        m_max, n, k, a_q.dtype, out_dtype, op="grouped_gemm_masked",
+        m_max, n, k, a_q.dtype, out_dtype,
+        op="grouped_gemm_masked_nt" if b_t else "grouped_gemm_masked",
         k_granularity=BLOCK, override=config)
     if interpret is None:
         interpret = _interpret_default()
     return _grouped_masked_call(
         jnp.asarray(masked_m, jnp.int32), a_q, a_scales, b_q, bs_exp,
-        config=cfg, out_dtype=out_dtype, interpret=interpret)
+        config=cfg, out_dtype=out_dtype, interpret=interpret, b_t=b_t)

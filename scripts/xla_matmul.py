@@ -24,6 +24,13 @@ def main(argv=None) -> int:
     ap.add_argument("--dir", default=".")
     args = ap.parse_args(argv)
 
+    # Honor JAX_PLATFORMS explicitly: this image's sitecustomize
+    # force-registers the TPU plugin and ignores the env var alone
+    # (same workaround as tests/conftest.py).
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     dt = np.dtype(args.dtype)

@@ -113,3 +113,48 @@ def test_grouped_masked_fixed_shape_recompile_free():
     o2 = gg.m_grouped_gemm_masked(a_q, a_s, b_q, b_s, jnp.asarray([4, 0]), config=cfg)
     assert o1.shape == o2.shape
     assert np.all(np.asarray(o2, np.float32)[1] == 0.0)
+
+
+def test_grouped_contiguous_nt_matches_n_layout():
+    # quantize_fp8_weight of the transposed weights yields exactly the
+    # transposed q-values and block-scale tables (max-abs is
+    # transpose-invariant), so NT output must match the N-layout output.
+    e, k, n, bm = 2, 384, 256, 16
+    b_q, b_s = _mk_experts(e, k, n, seed=11)
+    m_total, tile_ids, _ = gg.make_contiguous_layout([16, 32], bm)
+    a_q, a_s = _mk_acts(m_total, k, seed=12)
+    cfg = GemmConfig(block_m=bm, block_n=128, block_k=128)
+    out_n = gg.m_grouped_gemm_contiguous(a_q, a_s, b_q, b_s, tile_ids,
+                                         config=cfg)
+    out_t = gg.m_grouped_gemm_contiguous(
+        a_q, a_s, jnp.swapaxes(b_q, 1, 2), jnp.swapaxes(b_s, 1, 2), tile_ids,
+        config=cfg, b_layout="t")
+    np.testing.assert_allclose(np.asarray(out_t, np.float32),
+                               np.asarray(out_n, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_masked_nt_matches_n_layout():
+    e, m_max, k, n = 2, 32, 384, 128
+    b_q, b_s = _mk_experts(e, k, n, seed=13)
+    a = golden.gen_heavy_tail((e, m_max, k), seed=14)
+    a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+    masked = jnp.asarray([20, 7])
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128)
+    out_n = gg.m_grouped_gemm_masked(a_q, a_s, b_q, b_s, masked, config=cfg)
+    out_t = gg.m_grouped_gemm_masked(
+        a_q, a_s, jnp.swapaxes(b_q, 1, 2), jnp.swapaxes(b_s, 1, 2), masked,
+        config=cfg, b_layout="t")
+    np.testing.assert_allclose(np.asarray(out_t, np.float32),
+                               np.asarray(out_n, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_nt_rejects_expanded_scales():
+    e, k, n = 2, 128, 128
+    b_q, b_s = _mk_experts(e, k, n, seed=15)
+    a_q, a_s = _mk_acts(16, k, seed=16)
+    with pytest.raises(ValueError, match="unexpanded"):
+        gg.m_grouped_gemm_contiguous(
+            a_q, a_s, jnp.swapaxes(b_q, 1, 2), jnp.swapaxes(b_s, 1, 2),
+            jnp.asarray([0], jnp.int32), b_layout="t", b_scales_expanded=True)
