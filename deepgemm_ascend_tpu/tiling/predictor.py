@@ -158,6 +158,11 @@ class TilingPredictor:
         a_i = np.dtype(in_dtype).itemsize
         o_i = np.dtype(out_dtype).itemsize
         cands = analytic.enumerate_candidates(m, n, k, a_i, a_i, o_i, info)
+        if op == "grouped_gemm":
+            # Contiguous grouped: the layout fixes block_m = M_per_expert
+            # (ops/grouped_gemm.py) — the sweep searched only (bn, bk) with
+            # bm pinned, so constrain the pool to the trained distribution.
+            cands = sorted({(m, bn, bk) for _, bn, bk in cands})
         if len(cands) < self.min_candidates:
             return None
         # Rank only the analytically-plausible pool (≙ the reference's
@@ -224,6 +229,13 @@ def default_weights_path(op: str = "fp8_gemm") -> Optional[str]:
     return packaged if os.path.exists(packaged) else None
 
 
+# Per-op decline thresholds: the contiguous grouped layout pins block_m,
+# shrinking the legal pool well under the reference's min_tiling=60 (35-59
+# configs at DeepSeek MoE geometry) — a 60 floor would make that predictor
+# decline unconditionally.
+_OP_DEFAULTS = {"grouped_gemm": {"min_candidates": 16}}
+
+
 def enable_default_predictor(op: str = "fp8_gemm", **kw) -> bool:
     """Install the packaged/env-pathed predictor as selector tier 2.
     Returns False (and changes nothing) when no weights are found."""
@@ -231,8 +243,9 @@ def enable_default_predictor(op: str = "fp8_gemm", **kw) -> bool:
     path = default_weights_path(op)
     if path is None:
         return False
+    kwargs = {**_OP_DEFAULTS.get(op, {}), **kw}
     selector.register_predictor(
-        TilingPredictor(MLPWeights.load(path), op=op, **kw))
+        TilingPredictor(MLPWeights.load(path), op=op, **kwargs))
     return True
 
 

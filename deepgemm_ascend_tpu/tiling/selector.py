@@ -21,31 +21,46 @@ from ..config import GemmConfig
 from . import analytic
 from .cache import TilingCache, cache_key, global_cache
 
-# Optional learned predictor; registered lazily by tiling.predictor to avoid
-# importing the model stack on the serving hot path.
-_predictor = None
+# Optional learned predictors, one per op (≙ the reference's three
+# per-operator-type MLPs routed in ``get_best_config.py:718-723`` —
+# small/common/padding there; per-op here since each op is its own swept
+# kernel family). Registered lazily to keep the model stack off the
+# serving hot path.
+_predictors: dict = {}
 _default_predictor_tried = False
+
+# Ops with packaged on-chip-swept weights (data/predictor_<op>.npz).
+PREDICTOR_OPS = ("fp8_gemm", "fp8_gemm_nt", "gemm", "grouped_gemm",
+                 "grouped_gemm_masked")
 
 
 def register_predictor(predictor) -> None:
-    """Install a learned cost predictor (tier 2).
+    """Install a learned cost predictor (tier 2) for ``predictor.op``.
 
     ≙ ``Predictor::UsePredictApi`` gating (`predictor.h:21-44`) — presence of
     the predictor is optional and the analytic tier is always the fallback.
     """
-    global _predictor, _default_predictor_tried
-    _predictor = predictor
+    global _default_predictor_tried
+    _predictors[predictor.op] = predictor
     _default_predictor_tried = True   # explicit registration wins
+
+
+def clear_predictors() -> None:
+    """Drop all registered predictors (test hook)."""
+    global _default_predictor_tried
+    _predictors.clear()
+    _default_predictor_tried = True
 
 
 def _maybe_enable_default_predictor() -> None:
     """Tier-2 auto-wiring (on by default, ≙ the reference's live predictor
     mode — `custom_catlass/code_backup/dynamic_tiling_matmul.cpp:16-21`
-    mode 2): on the first cache miss, install the packaged predictor when
-    its training device matches the detected one. The packaged weights were
-    swept on v5e; ``DGA_PREDICTOR_PATH`` overrides (no device gate), and
-    ``DGA_DISABLE_PREDICTOR=1`` opts out. The decline policy (min
-    candidates + 3% margin vs analytic) still guards every selection."""
+    mode 2): on the first cache miss, install every packaged per-op
+    predictor when the training device matches the detected one. The
+    packaged weights were swept on v5e; ``DGA_PREDICTOR_PATH`` overrides
+    (single op, no device gate), and ``DGA_DISABLE_PREDICTOR=1`` opts out.
+    The decline policy (min candidates + 3% margin vs analytic + roofline
+    guardrail) still guards every selection."""
     global _default_predictor_tried
     if _default_predictor_tried:
         return
@@ -54,13 +69,17 @@ def _maybe_enable_default_predictor() -> None:
         return
     from . import platform as plat
     from .predictor import DEFAULT_WEIGHTS_ENV, enable_default_predictor
-    if (not os.environ.get(DEFAULT_WEIGHTS_ENV)
-            and plat.detect().device_kind != "tpu v5e"):
+    if os.environ.get(DEFAULT_WEIGHTS_ENV):
+        # Explicit weights path: single-op override (fp8_gemm by default).
+        enable_default_predictor(op="fp8_gemm", strategy="topk_median")
+        return
+    if plat.detect().device_kind != "tpu v5e":
         return   # packaged weights are v5e-swept; wrong device → stay tier-3
-    # topk_median: best held-out metrics on the final round-2 training set
-    # (scripts/train_predictor.py --holdout: pick/oracle mean 1.09,
-    # win-rate vs analytic 0.63 on 1311 records / 81 shapes).
-    enable_default_predictor(op="fp8_gemm", strategy="topk_median")
+    # topk_median: best held-out metrics on the round-2 training set
+    # (scripts/train_predictor.py --holdout; per-op tables in
+    # docs/BENCHMARKS.md "Learned predictor" section).
+    for op in PREDICTOR_OPS:
+        enable_default_predictor(op=op, strategy="topk_median")
 
 
 def select_config(
@@ -93,13 +112,16 @@ def select_config(
     metrics.inc("tiling.cache_miss")
 
     _maybe_enable_default_predictor()
-    if _predictor is not None:
-        cfg = _predictor.predict(m, n, k, in_dt, out_dt, op=op)
+    pred = _predictors.get(op)
+    if pred is not None:
+        cfg = pred.predict(m, n, k, in_dt, out_dt, op=op)
         if cfg is not None:
             metrics.inc("tiling.predictor_pick")
+            metrics.inc(f"tiling.predictor_pick.{op}")
             cache.set(key, cfg, persist=False)
             return cfg
         metrics.inc("tiling.predictor_decline")
+        metrics.inc(f"tiling.predictor_decline.{op}")
 
     metrics.inc("tiling.analytic_pick")
     cfg = analytic.get_best_config(

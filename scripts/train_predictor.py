@@ -15,7 +15,16 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _load_grouped(paths):
+# Round-1 sweeps logged masked records under "grouped_masked"; fold them
+# into the current op key so the per-op models see all the data.
+OP_ALIASES = {"grouped_masked": "grouped_gemm_masked"}
+
+
+def _is_fp8_op(op):
+    return op != "gemm"   # every non-bf16 op in the suite is fp8 e4m3
+
+
+def _load_grouped(paths, op_filter=None):
     """jsonl → {(op, m, n, k): [(bm, bn, bk, time_s), …]} (clean records)."""
     import json
     groups = {}
@@ -32,7 +41,10 @@ def _load_grouped(paths):
                 if r.get("time_s", -1) <= 0:
                     continue
                 c = r["config"]
-                key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
+                op = OP_ALIASES.get(r.get("op", "gemm"), r.get("op", "gemm"))
+                if op_filter and op != op_filter:
+                    continue
+                key = (op, r["m"], r["n"], r["k"])
                 groups.setdefault(key, []).append(
                     (c["block_m"], c["block_n"], c["block_k"], r["time_s"]))
     return groups
@@ -62,9 +74,9 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
             idx = p._select(pred, tiles)
             oracle = float(times.min())
             pick = float(times[idx])
-            itemsize = 1 if "fp8" in op else 2
+            itemsize = 1 if _is_fp8_op(op) else 2
             nat = analytic.get_best_config(m, n, k, itemsize, itemsize,
-                                           2 if "fp8" in op else 4)
+                                           2 if _is_fp8_op(op) else 4)
             nat_key = (nat.block_m, nat.block_n, nat.block_k)
             nat_times = [t for bm, bn, bk, t in recs
                          if (bm, bn, bk) == nat_key]
@@ -92,6 +104,10 @@ def main(argv=None) -> int:
     ap.add_argument("--holdout", type=float, default=0.2,
                     help="fraction of SHAPES held out for the win-rate "
                          "report (0 = train on everything, report in-sample)")
+    ap.add_argument("--op", default=None,
+                    help="train on this op's records only (per-op model — "
+                         "≙ the reference's per-operator-type MLP routing, "
+                         "get_best_config.py:718-723)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -104,7 +120,7 @@ def main(argv=None) -> int:
     if not paths:
         print(f"[DGA-TPU] no files match {args.sweep_glob}")
         return 1
-    groups = _load_grouped(paths)
+    groups = _load_grouped(paths, op_filter=args.op)
     shapes = sorted(groups)
     rng = np.random.default_rng(args.seed)
     n_hold = int(len(shapes) * args.holdout)

@@ -90,7 +90,7 @@ def test_selector_integration_and_fallback(tmp_path):
                                      jnp.float32, cache=c)
         assert isinstance(cfg, GemmConfig)  # analytic fallback engaged
     finally:
-        selector.register_predictor(None)
+        selector.clear_predictors()
 
 
 def test_load_sweep_records(tmp_path):
@@ -127,7 +127,7 @@ def test_packaged_default_predictor_loads_and_registers():
                                      op="fp8_gemm", cache=TilingCache(None))
         assert cfg.block_n % 128 == 0 and cfg.block_k % 128 == 0
     finally:
-        selector.register_predictor(None)
+        selector.clear_predictors()
 
 
 def test_default_predictor_env_override(tmp_path, monkeypatch):
@@ -148,31 +148,98 @@ def test_tier2_autowires_on_first_miss(monkeypatch):
     from deepgemm_ascend_tpu.utils.logging import metrics
     monkeypatch.setenv(predictor.DEFAULT_WEIGHTS_ENV,
                        predictor.default_weights_path("fp8_gemm"))
-    monkeypatch.setattr(selector, "_predictor", None)
+    monkeypatch.setattr(selector, "_predictors", {})
     monkeypatch.setattr(selector, "_default_predictor_tried", False)
     metrics.reset()
     try:
         selector.select_config(4096, 4096, 4096, jnp.float8_e4m3fn,
                                jnp.bfloat16, op="fp8_gemm",
                                cache=TilingCache(None))
-        assert selector._predictor is not None
+        assert selector._predictors.get("fp8_gemm") is not None
         snap = metrics.snapshot()
         assert (snap.get("tiling.predictor_pick", 0)
                 + snap.get("tiling.predictor_decline", 0)) == 1, snap
     finally:
-        selector.register_predictor(None)
+        selector.clear_predictors()
 
 
 def test_tier2_autowire_respects_disable_env(monkeypatch):
     import jax.numpy as jnp
     from deepgemm_ascend_tpu.tiling.cache import TilingCache
     monkeypatch.setenv("DGA_DISABLE_PREDICTOR", "1")
-    monkeypatch.setattr(selector, "_predictor", None)
+    monkeypatch.setattr(selector, "_predictors", {})
     monkeypatch.setattr(selector, "_default_predictor_tried", False)
     try:
         selector.select_config(4096, 4096, 4096, jnp.float8_e4m3fn,
                                jnp.bfloat16, op="fp8_gemm",
                                cache=TilingCache(None))
-        assert selector._predictor is None
+        assert not selector._predictors
     finally:
-        selector.register_predictor(None)
+        selector.clear_predictors()
+
+
+def test_per_op_packaged_weights_exist():
+    """Every op in selector.PREDICTOR_OPS ships trained weights — the
+    per-op routing analogue of the reference's three-MLP scheme
+    (`get_best_config.py:673-748`, routing at 718-723)."""
+    for op in selector.PREDICTOR_OPS:
+        path = predictor.default_weights_path(op)
+        assert path is not None and path.endswith(f"predictor_{op}.npz"), op
+        w = predictor.MLPWeights.load(path)
+        assert w.mean.shape[0] == predictor.FEATURES, op
+
+
+def test_per_op_routing_consults_matching_predictor(monkeypatch):
+    """select_config must route each op to ITS registered predictor and
+    never consult a mismatched one."""
+    from deepgemm_ascend_tpu.tiling.cache import TilingCache
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    calls = []
+
+    class Spy:
+        def __init__(self, op):
+            self.op = op
+
+        def predict(self, m, n, k, in_dt, out_dt, *, op):
+            calls.append((self.op, op))
+            return None   # decline → analytic fallback
+
+    monkeypatch.setattr(selector, "_predictors", {})
+    monkeypatch.setattr(selector, "_default_predictor_tried", False)
+    selector.register_predictor(Spy("gemm"))
+    selector.register_predictor(Spy("grouped_gemm_masked"))
+    metrics.reset()
+    try:
+        selector.select_config(256, 256, 256, jnp.bfloat16, jnp.float32,
+                               op="gemm", cache=TilingCache(None))
+        selector.select_config(128, 1408, 2048, jnp.float8_e4m3fn,
+                               jnp.bfloat16, op="grouped_gemm_masked",
+                               cache=TilingCache(None))
+        # fp8_gemm has no registered predictor here → straight to analytic
+        selector.select_config(256, 256, 256, jnp.float8_e4m3fn,
+                               jnp.bfloat16, op="fp8_gemm",
+                               cache=TilingCache(None))
+        assert calls == [("gemm", "gemm"),
+                         ("grouped_gemm_masked", "grouped_gemm_masked")]
+        snap = metrics.snapshot()
+        assert snap.get("tiling.predictor_decline.gemm", 0) == 1
+        assert snap.get(
+            "tiling.predictor_decline.grouped_gemm_masked", 0) == 1
+    finally:
+        selector.clear_predictors()
+
+
+def test_grouped_contiguous_pool_pins_block_m():
+    """op='grouped_gemm' candidates must keep block_m == m (the layout
+    fixes it — ops/grouped_gemm.py); a confident MLP therefore returns a
+    config with block_m == m."""
+    w = predictor.MLPWeights.init(hidden=(8,), seed=0)
+    w.ws = [np.zeros((predictor.FEATURES, 1))]
+    w.bs = [np.zeros((1,))]
+    w.ws[0][3:6, 0] = 1.0  # larger tiles → higher predicted time
+    w.mean[:] = 0.0
+    w.std[:] = 1.0
+    p = predictor.TilingPredictor(w, min_candidates=1, op="grouped_gemm")
+    cfg = p.predict(512, 1408, 2048, jnp.float8_e4m3fn, jnp.bfloat16,
+                    op="grouped_gemm")
+    assert cfg is None or cfg.block_m == 512
