@@ -37,10 +37,17 @@ struct Config {
 
 struct Platform {
   int64_t vmem_bytes;
-  double peak_flops;     // for the input dtype
-  double hbm_gbps;
+  double peak_flops;     // EFFECTIVE peak for the input dtype (the caller
+                         // pre-multiplies the calibrated compute_factor)
+  double hbm_gbps;       // effective (calibrated) HBM bandwidth
   int32_t num_cores;
   int32_t lane;          // 128
+  // Calibrated cost constants (== analytic.CostParams, fitted per (device,
+  // op) from sweep records — ≙ the reference's fitted bandwidth polynomial
+  // select_kernel.cpp:22-114). Nominal defaults preserved here.
+  double vmem_gbps = 1300.0;
+  double startup0 = 3e-6;
+  double startup1 = 1e-7;
 };
 
 int64_t ceil_div(int64_t a, int64_t b) { return (a + b - 1) / b; }
@@ -79,12 +86,12 @@ double estimate_time(int64_t m, int64_t n, int64_t k, int64_t bm, int64_t bn,
   double c_bytes = 1.0 * (nm * bm) * (nn * bn) * o_i;
   double memory_s = (a_bytes + b_bytes + c_bytes) / (p.hbm_gbps * 1e9);
   double steps = 1.0 * nm * nn * nk;
-  double startup = 3e-6 + 1e-7 * steps;
-  // == analytic._VMEM_GBPS accumulator-RMW term: K-blocked grids pay a
-  // per-step scratch read-modify-write (nk == 1 accumulates in registers);
-  // charged to the compute side so memory-bound shapes hide it.
+  double startup = p.startup0 + p.startup1 * steps;
+  // == analytic accumulator-RMW term: K-blocked grids pay a per-step
+  // scratch read-modify-write (nk == 1 accumulates in registers); charged
+  // to the compute side so memory-bound shapes hide it.
   double acc_rmw_s = 0.0;
-  if (nk > 1) acc_rmw_s = steps * (2.0 * bm * bn * 4) / (1300.0 * 1e9);
+  if (nk > 1) acc_rmw_s = steps * (2.0 * bm * bn * 4) / (p.vmem_gbps * 1e9);
   return std::max(compute_s + acc_rmw_s, memory_s) + startup;
 }
 
@@ -238,8 +245,10 @@ int64_t dga_select_config(int64_t m, int64_t n, int64_t k, int32_t a_item,
                           int32_t b_item, int32_t out_item, int64_t k_gran,
                           int64_t vmem_bytes, double peak_flops,
                           double hbm_gbps, int32_t num_cores,
+                          double vmem_gbps, double startup0, double startup1,
                           Config* out) {
-  Platform p{vmem_bytes, peak_flops, hbm_gbps, num_cores, 128};
+  Platform p{vmem_bytes, peak_flops, hbm_gbps, num_cores, 128,
+             vmem_gbps, startup0, startup1};
   std::vector<std::array<int64_t, 3>> cands;
   enumerate_candidates(m, n, k, a_item, b_item, out_item, k_gran, p, &cands);
   double best_t = 1e30;
@@ -268,8 +277,10 @@ int64_t dga_vmem_footprint(int64_t bm, int64_t bn, int64_t bk, int32_t a_i,
 double dga_estimate_time(int64_t m, int64_t n, int64_t k, int64_t bm,
                          int64_t bn, int64_t bk, int32_t a_i, int32_t b_i,
                          int32_t o_i, int64_t vmem_bytes, double peak_flops,
-                         double hbm_gbps) {
-  Platform p{vmem_bytes, peak_flops, hbm_gbps, 1, 128};
+                         double hbm_gbps, double vmem_gbps, double startup0,
+                         double startup1) {
+  Platform p{vmem_bytes, peak_flops, hbm_gbps, 1, 128,
+             vmem_gbps, startup0, startup1};
   return estimate_time(m, n, k, bm, bn, bk, a_i, b_i, o_i, p);
 }
 
@@ -285,6 +296,6 @@ void dga_cache_set(const char* key, const Config* cfg, int32_t persist) {
 
 int64_t dga_cache_size() { return TilingCache::Instance().Size(); }
 
-int32_t dga_abi_version() { return 1; }
+int32_t dga_abi_version() { return 2; }
 
 }  // extern "C"

@@ -24,12 +24,12 @@ struct Config {
 extern "C" {
 int64_t dga_select_config(int64_t, int64_t, int64_t, int32_t, int32_t,
                           int32_t, int64_t, int64_t, double, double, int32_t,
-                          Config*);
+                          double, double, double, Config*);
 int64_t dga_vmem_footprint(int64_t, int64_t, int64_t, int32_t, int32_t,
                            int32_t);
 double dga_estimate_time(int64_t, int64_t, int64_t, int64_t, int64_t,
                          int64_t, int32_t, int32_t, int32_t, int64_t, double,
-                         double);
+                         double, double, double, double);
 void dga_cache_init(const char*);
 int32_t dga_cache_get(const char*, Config*);
 void dga_cache_set(const char*, const Config*, int32_t);
@@ -50,12 +50,16 @@ static int g_failures = 0;
 static const int64_t kVmem = 16ll << 20;
 static const double kPeak = 197e12;
 static const double kHbm = 819.0;
+// Nominal calibration constants (== analytic._NOMINAL defaults).
+static const double kVmemBw = 1300.0;
+static const double kS0 = 3e-6;
+static const double kS1 = 1e-7;
 
 static Config select(int64_t m, int64_t n, int64_t k, int a_i = 2,
                      int o_i = 4, int64_t k_gran = 128, int cores = 1) {
   Config c{};
   dga_select_config(m, n, k, a_i, a_i, o_i, k_gran, kVmem, kPeak, kHbm,
-                    cores, &c);
+                    cores, kVmemBw, kS0, kS1, &c);
   return c;
 }
 
@@ -73,18 +77,18 @@ static void test_footprint() {
 static void test_estimate_time() {
   // Compute-bound big GEMM: time approx padded_flops / peak.
   double t = dga_estimate_time(4096, 4096, 4096, 512, 512, 1024, 2, 2, 4,
-                               kVmem, kPeak, kHbm);
+                               kVmem, kPeak, kHbm, kVmemBw, kS0, kS1);
   double ideal = 2.0 * 4096 * 4096 * 4096 / kPeak;
   CHECK(t >= ideal && t < 3 * ideal);
   // Tiny-block candidate must cost more (padding + startup + traffic).
   double t_small = dga_estimate_time(4096, 4096, 4096, 16, 128, 128, 2, 2,
-                                     4, kVmem, kPeak, kHbm);
+                                     4, kVmem, kPeak, kHbm, kVmemBw, kS0, kS1);
   CHECK(t_small > t);
   // Skinny M: padding waste of a 512-row tile visible vs an 16-row tile.
   double t_fat = dga_estimate_time(8, 4096, 4096, 512, 512, 512, 2, 2, 4,
-                                   kVmem, kPeak, kHbm);
+                                   kVmem, kPeak, kHbm, kVmemBw, kS0, kS1);
   double t_fit = dga_estimate_time(8, 4096, 4096, 16, 512, 512, 2, 2, 4,
-                                   kVmem, kPeak, kHbm);
+                                   kVmem, kPeak, kHbm, kVmemBw, kS0, kS1);
   CHECK(t_fit < t_fat);
 }
 
@@ -120,7 +124,7 @@ static void test_kernel_type_chain() {
   // (≙ streamk/splitk handlers).
   Config c{};
   dga_select_config(128, 128, 65536, 2, 2, 4, 128, kVmem, kPeak, kHbm,
-                    /*num_cores=*/2, &c);
+                    /*num_cores=*/2, kVmemBw, kS0, kS1, &c);
   if (c.kernel_type == 2) CHECK(c.k_split >= 2);
   // fp8 path: k granularity respected.
   Config f8 = select(4096, 4096, 4096, /*a_i=*/1, /*o_i=*/2, 128);
@@ -151,7 +155,7 @@ static void test_cache_roundtrip(const char* path) {
 }
 
 int main(int argc, char** argv) {
-  CHECK(dga_abi_version() == 1);
+  CHECK(dga_abi_version() == 2);
   test_footprint();
   test_estimate_time();
   test_select_config_legal();

@@ -20,7 +20,7 @@ import threading
 from typing import Optional
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "dga_core.cpp")
-_ABI = 1
+_ABI = 2
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -91,13 +91,16 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int32, ctypes.POINTER(NativeConfig)]
+            ctypes.c_double, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(NativeConfig)]
         lib.dga_vmem_footprint.restype = ctypes.c_int64
         lib.dga_vmem_footprint.argtypes = [ctypes.c_int64] * 3 + [ctypes.c_int32] * 3
         lib.dga_estimate_time.restype = ctypes.c_double
         lib.dga_estimate_time.argtypes = (
             [ctypes.c_int64] * 6 + [ctypes.c_int32] * 3
-            + [ctypes.c_int64, ctypes.c_double, ctypes.c_double])
+            + [ctypes.c_int64, ctypes.c_double, ctypes.c_double]
+            + [ctypes.c_double, ctypes.c_double, ctypes.c_double])
         lib.dga_cache_init.argtypes = [ctypes.c_char_p]
         lib.dga_cache_get.restype = ctypes.c_int32
         lib.dga_cache_get.argtypes = [ctypes.c_char_p,
@@ -113,14 +116,18 @@ def load() -> Optional[ctypes.CDLL]:
 def select_config_native(m: int, n: int, k: int, a_item: int, b_item: int,
                          out_item: int, k_gran: int, vmem_bytes: int,
                          peak_flops: float, hbm_gbps: float,
-                         num_cores: int):
-    """Native analytic config; None if the library is unavailable."""
+                         num_cores: int, *, vmem_gbps: float = 1300.0,
+                         startup0: float = 3e-6, startup1: float = 1e-7):
+    """Native analytic config; None if the library is unavailable.
+    ``peak_flops``/``hbm_gbps`` are the EFFECTIVE (calibrated) values;
+    the extra keywords carry the remaining fitted cost constants."""
     lib = load()
     if lib is None:
         return None
     out = NativeConfig()
     lib.dga_select_config(m, n, k, a_item, b_item, out_item, k_gran,
                           vmem_bytes, peak_flops, hbm_gbps, num_cores,
+                          vmem_gbps, startup0, startup1,
                           ctypes.byref(out))
     from .config import GemmConfig, KernelType, SwizzleDir
     return GemmConfig(

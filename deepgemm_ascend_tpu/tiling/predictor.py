@@ -173,14 +173,14 @@ class TilingPredictor:
         # predicted 2-4× faster than physically possible).
         if len(cands) > self.candidate_pool:
             cands.sort(key=lambda t: analytic.estimate_time(
-                m, n, k, *t, a_i, a_i, o_i, info, in_dtype).time_s)
+                m, n, k, *t, a_i, a_i, o_i, info, in_dtype, op=op).time_s)
             cands = cands[:self.candidate_pool]
         tiles = np.asarray(cands, np.int64)
         # MLP emits log-time; compare in the time domain so the margin rule
         # is scale-correct (log outputs may be negative).
         times = np.exp(self.predict_batch(_features(m, n, k, tiles)))
         # analytic ("native") config's predicted time — fallback anchor
-        native = analytic.get_best_config(m, n, k, a_i, a_i, o_i)
+        native = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
         nat_feat = _features(m, n, k, np.asarray(
             [[native.block_m, native.block_n, native.block_k]], np.int64))
         native_time = float(np.exp(self.predict_batch(nat_feat)[0]))
@@ -199,10 +199,10 @@ class TilingPredictor:
         # no longer select off-distribution garbage.
         est_pick = analytic.estimate_time(
             m, n, k, bm, bn, bk, a_i, a_i, o_i, info,
-            in_dtype=in_dtype).time_s
+            in_dtype=in_dtype, op=op).time_s
         est_native = analytic.estimate_time(
             m, n, k, native.block_m, native.block_n, native.block_k,
-            a_i, a_i, o_i, info, in_dtype=in_dtype).time_s
+            a_i, a_i, o_i, info, in_dtype=in_dtype, op=op).time_s
         if est_pick > self.guard_factor * est_native:
             return None
         ktype, ksplit = analytic.select_kernel_type(m, n, k, bm, bn, bk, info)

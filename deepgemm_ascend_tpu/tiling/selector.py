@@ -129,6 +129,7 @@ def select_config(
         a_itemsize=in_dt.itemsize, b_itemsize=in_dt.itemsize,
         out_itemsize=out_dt.itemsize,
         k_granularity=k_granularity,
+        op=op,
     )
     cache.set(key, cfg, persist=False)  # analytic results are re-derivable
     return cfg

@@ -68,7 +68,7 @@ def test_native_estimate_time_matches():
         got = lib.dga_estimate_time(m, n, k, 256, 256, 512, 2, 2, 4,
                                     info.vmem_bytes,
                                     info.peak_flops(jnp.bfloat16),
-                                    info.hbm_gbps)
+                                    info.hbm_gbps, 1300.0, 3e-6, 1e-7)
         want = analytic.estimate_time(m, n, k, 256, 256, 512, 2, 2, 4,
                                       info, jnp.bfloat16).time_s
         assert abs(got - want) / want < 1e-9

@@ -294,3 +294,39 @@ def test_packaged_tilings_preload(monkeypatch):
                                 "float8_e4m3fn", "bfloat16", "g128"))
     assert hit is not None and hit.block_k == 4096  # the swept winner
     assert len(cache.TilingCache()) == 0  # no silent preload
+
+
+def test_calibrated_cost_params_load_for_v5e():
+    """The packaged cost_model.json (fit from on-chip sweep records by
+    scripts/calibrate_cost_model.py — ≙ the reference's fitted bandwidth
+    polynomial, select_kernel.cpp:22-114) must resolve per-op on v5e and
+    fall back to nominal elsewhere."""
+    from deepgemm_ascend_tpu.tiling import analytic
+    from deepgemm_ascend_tpu.tiling.platform import _KNOWN
+    v5e = _KNOWN["v5e"]
+    for op in ("gemm", "fp8_gemm", "fp8_gemm_nt", "grouped_gemm",
+               "grouped_gemm_masked"):
+        p = analytic.get_cost_params(op, v5e)
+        assert p.hbm_gbps > 0 and p.compute_factor <= 1.05, (op, p)
+    # fitted != nominal for at least the bf16 op
+    assert analytic.get_cost_params("gemm", v5e).startup1 != 1e-7
+    # unknown op → nominal constants
+    nom = analytic.get_cost_params("no_such_op", v5e)
+    assert nom.startup0 == 3e-6 and nom.compute_factor == 1.0
+    # cpu → nominal (no calibration for that device kind)
+    cpu = _KNOWN["cpu"]
+    assert analytic.get_cost_params("gemm", cpu).startup1 == 1e-7
+
+
+def test_estimate_time_uses_op_calibration():
+    from deepgemm_ascend_tpu.tiling import analytic
+    from deepgemm_ascend_tpu.tiling.platform import _KNOWN
+    import jax.numpy as jnp
+    v5e = _KNOWN["v5e"]
+    nominal = analytic.estimate_time(
+        4096, 4096, 4096, 512, 512, 1024, 1, 1, 2, v5e, jnp.float8_e4m3fn,
+        params=analytic.CostParams(819.0, 1300.0, 3e-6, 1e-7, 1.0))
+    calibrated = analytic.estimate_time(
+        4096, 4096, 4096, 512, 512, 1024, 1, 1, 2, v5e, jnp.float8_e4m3fn,
+        op="fp8_gemm")
+    assert calibrated.time_s != nominal.time_s
