@@ -112,14 +112,16 @@ class Engine:
             self.caches = shard_caches(
                 mesh, init_cache(cfg, max_slots, self.max_seq_len), cfg)
             self._decode = make_sharded_decode_step(mesh, cfg, params)
-            if top_p >= 1.0:
-                # Sampling inside the sharded program: the (batch, vocab)
-                # logits all-gather (the decode step's one large collective
-                # — docs/MULTICHIP.md) collapses to a KB-scale max-reduce.
-                # top-p needs the global distribution → gather path.
-                self._decode_sampled = make_sharded_decode_step(
-                    mesh, cfg, params,
-                    sample={"temperature": temperature, "top_k": top_k})
+            # Sampling inside the sharded program: the (batch, vocab)
+            # logits all-gather (the decode step's one large collective —
+            # docs/MULTICHIP.md) collapses to KB-scale collectives. top-p
+            # decomposes too (bounded threshold search on the cumulative
+            # mass — parallel/sharded.py _topp_threshold_sharded), so no
+            # sampling mode reinstates the gather.
+            self._decode_sampled = make_sharded_decode_step(
+                mesh, cfg, params,
+                sample={"temperature": temperature, "top_k": top_k,
+                        "top_p": top_p})
         else:
             self.params = params
             self.caches = init_cache(cfg, max_slots, self.max_seq_len)
