@@ -163,13 +163,16 @@ def main() -> int:
                          sample={"temperature": 1.0, "top_k": 8}),
                      (p_abs, t_abs, c_abs, t_abs, key_abs)))
     if args.bucket:
-        tok_abs = jax.ShapeDtypeStruct((args.bucket,), jnp.int32,
+        # Batched-admission signature: (S, bucket) prompts + (S,) slot and
+        # length vectors (S = 4 exercises the multi-slot scatter merge).
+        n_adm = 4
+        tok_abs = jax.ShapeDtypeStruct((n_adm, args.bucket), jnp.int32,
                                        sharding=NamedSharding(mesh, P(None)))
-        s_abs = jax.ShapeDtypeStruct((), jnp.int32,
-                                     sharding=NamedSharding(mesh, P()))
+        s_abs = jax.ShapeDtypeStruct((n_adm,), jnp.int32,
+                                     sharding=NamedSharding(mesh, P(None)))
         jobs.append(("prefill",
                      make_sharded_prefill_step(mesh, cfg, params,
-                                               args.bucket),
+                                               args.bucket, n_slots=n_adm),
                      (p_abs, c_abs, tok_abs, s_abs, s_abs)))
 
     rc = 0

@@ -26,7 +26,14 @@ def main(argv=None) -> int:
     ap.add_argument("--op", default="fp8_gemm",
                     choices=["gemm", "fp8_gemm", "fp8_gemm_nt",
                              "grouped_gemm_masked",
-                             "grouped_gemm_contiguous"])
+                             "grouped_gemm_contiguous",
+                             "grouped_gemm_masked_nt",
+                             "grouped_gemm_contiguous_nt"])
+    ap.add_argument("--uneven", action="store_true",
+                    help="contiguous grouped: deterministic UNEVEN tokens/"
+                         "expert (lognormal split of E*M tokens, layout "
+                         "block_m=128) — the BASELINE.md:27 variable-"
+                         "tokens-per-expert configuration")
     ap.add_argument("--inject-ksplit", action="store_true",
                     help="add KSPLIT (split-K) variants of the top analytic "
                          "candidates to the dense-gemm sweep — on-chip "
@@ -55,6 +62,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
+    import numpy as np
 
     from deepgemm_ascend_tpu.bench import shapes as shape_suites
     from deepgemm_ascend_tpu.bench import timing
@@ -69,7 +77,8 @@ def main(argv=None) -> int:
     from deepgemm_ascend_tpu.utils import golden
     from deepgemm_ascend_tpu.utils.common import round_up
 
-    grouped_ops = ("grouped_gemm_masked", "grouped_gemm_contiguous")
+    grouped_ops = ("grouped_gemm_masked", "grouped_gemm_contiguous",
+                   "grouped_gemm_masked_nt", "grouped_gemm_contiguous_nt")
     if args.shapes:
         flat = args.shapes
         width = 4 if args.op in grouped_ops else 3
@@ -86,68 +95,102 @@ def main(argv=None) -> int:
                                                    "tilings.jsonl"))
 
     for shape in suite:
-        if args.op == "grouped_gemm_contiguous":
+        if args.op.startswith("grouped_gemm_contiguous"):
             # (E, M_per_expert, N, K) — BASELINE config 3 (MoE prefill).
-            # Runtime cache key: op="grouped_gemm", m = the layout block_m
-            # (ops/grouped_gemm.py:221-224), so the sweep fixes block_m to
-            # M_per_expert and searches bn/bk only.
+            # Runtime cache key: op="grouped_gemm[_nt]", m = the layout
+            # block_m (ops/grouped_gemm.py), so the sweep fixes block_m to
+            # the layout block and searches bn/bk only. The *_nt variant
+            # times DeepGEMM's native (E, N, K) K-major weights through the
+            # same private entry the wrapper uses (b_t=True; scale panel
+            # pre-expanded outside the timed region, matching the 'n' rows
+            # and the dense NT sweep).
             from deepgemm_ascend_tpu.ops import grouped_gemm as gg
             from deepgemm_ascend_tpu.tiling import analytic, platform as plat
             from deepgemm_ascend_tpu.config import GemmConfig
+            nt = args.op.endswith("_nt")
             e, m_per, n, k = shape
-            m_total = e * m_per
+            if args.uneven:
+                # Deterministic lognormal split of E*M tokens (≥1 each),
+                # layout block 128 — tile_ids now carry uneven group spans
+                # and padding tiles, the structure BASELINE.md:27 names.
+                rng = np.random.default_rng(12345)
+                w = rng.lognormal(0.0, 1.0, e)
+                toks = np.maximum((w / w.sum() * e * m_per).astype(int), 1)
+                toks[0] += e * m_per - int(toks.sum())   # exact total
+                bm_layout = min(128, m_per)
+            else:
+                toks = [m_per] * e
+                bm_layout = m_per
+            m_total, tile_ids_np, _ = gg.make_contiguous_layout(
+                [int(t) for t in toks], bm_layout)
             a = golden.gen_heavy_tail((m_total, k), seed=0)
-            b = golden.gen_heavy_tail((e, k, n), seed=1)
+            bshape = (e, n, k) if nt else (e, k, n)
+            b = golden.gen_heavy_tail(bshape, seed=1)
             a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
             b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
-            bse = jnp.repeat(b_s, quant.BLOCK, axis=2)[:, :, :n]
-            tile_ids = jnp.arange(e, dtype=jnp.int32)
+            bs_for_exp = jnp.swapaxes(b_s, 1, 2) if nt else b_s
+            bse = jnp.repeat(bs_for_exp.astype(jnp.float32), quant.BLOCK,
+                             axis=2)[:, :, :n]
+            tile_ids = jnp.asarray(tile_ids_np)
 
             info = plat.detect()
             triples = analytic.enumerate_candidates(
-                m_per, n, k, 1, 1, 2, info, quant.BLOCK)
-            cands = sorted({(m_per, bn, bk) for _, bn, bk in triples})
+                bm_layout, n, k, 1, 1, 2, info, quant.BLOCK)
+            cands = sorted({(bm_layout, bn, bk) for _, bn, bk in triples})
             cands = [GemmConfig(bm, bn, bk) for bm, bn, bk in cands]
+            n_tiles = len(tile_ids_np)
 
             def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, bse=bse,
-                        tile_ids=tile_ids):
-                f = lambda aq, asc, bq, bs: gg.m_grouped_gemm_contiguous(
-                    aq, asc, bq, bs, tile_ids, config=cfg,
-                    b_scales_expanded=True)
+                        tile_ids=tile_ids, nt=nt):
+                from deepgemm_ascend_tpu.ops.gemm import _interpret_default
+                f = lambda aq, asc, bq, bs: gg._grouped_contiguous_call(
+                    tile_ids, aq, asc, bq, bs, config=cfg,
+                    out_dtype=jnp.bfloat16, interpret=_interpret_default(),
+                    b_t=nt)
                 t = timing.time_gemm_like(f, a_q, a_s, b_q, bse,
                                           iters=args.iters, repeats=2,
                                           min_chain_seconds=args.min_chain)
                 return t.seconds
 
-            tag = f"{args.op}_{e}x{m_per}x{n}x{k}_r{args.rank}"
+            op_key = "grouped_gemm_nt" if nt else "grouped_gemm"
+            tag = (f"{args.op}_{e}x{m_per}x{n}x{k}"
+                   + ("_uneven" if args.uneven else "") + f"_r{args.rank}")
             tuner = autotune.Autotuner(
-                None, time_fn, op="grouped_gemm",
+                None, time_fn, op=op_key,
                 results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
                 checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
                 cache=cache, rank=args.rank, world=args.world,
                 retry_failed=args.retry_poisoned)
             win = tuner.sweep_shape(
-                m_per, n, k, candidates=cands,
+                bm_layout, n, k, candidates=cands,
                 in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
                 max_candidates=args.max_candidates, verbose=True,
-                flops_scale=e)
-            print(f"[DGA-TPU] contiguous E{e} {m_per}x{n}x{k} winner: {win}")
+                flops_scale=n_tiles)
+            print(f"[DGA-TPU] contiguous{'-nt' if nt else ''}"
+                  f"{'-uneven' if args.uneven else ''} E{e} "
+                  f"{m_per}x{n}x{k} winner: {win}")
             continue
-        if args.op == "grouped_gemm_masked":
+        if args.op.startswith("grouped_gemm_masked"):
             # (E, M_max, N, K) — BASELINE configs 3-4 (MoE prefill/decode).
             from deepgemm_ascend_tpu.ops import grouped_gemm as gg
+            nt = args.op.endswith("_nt")
             e, m, n, k = shape
             a = golden.gen_heavy_tail((e, m, k), seed=0)
-            b = golden.gen_heavy_tail((e, k, n), seed=1)
+            b = golden.gen_heavy_tail((e, n, k) if nt else (e, k, n), seed=1)
             a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
             b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
-            bse = jnp.repeat(b_s, quant.BLOCK, axis=2)[:, :, :n]
+            bs_for_exp = jnp.swapaxes(b_s, 1, 2) if nt else b_s
+            bse = jnp.repeat(bs_for_exp.astype(jnp.float32), quant.BLOCK,
+                             axis=2)[:, :, :n]
             masked_m = jnp.full((e,), m, jnp.int32)
 
             def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, bse=bse,
-                        masked_m=masked_m):
-                f = lambda aq, asc, bq, bs, mm=masked_m: gg.m_grouped_gemm_masked(
-                    aq, asc, bq, bs, mm, config=cfg, b_scales_expanded=True)
+                        masked_m=masked_m, nt=nt):
+                from deepgemm_ascend_tpu.ops.gemm import _interpret_default
+                f = lambda aq, asc, bq, bs, mm=masked_m: gg._grouped_masked_call(
+                    mm, aq, asc, bq, bs, config=cfg,
+                    out_dtype=jnp.bfloat16, interpret=_interpret_default(),
+                    b_t=nt)
 
                 def perturb(out, a0):
                     import jax
@@ -172,7 +215,8 @@ def main(argv=None) -> int:
                 m, n, k, in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
                 max_candidates=args.max_candidates, verbose=True,
                 flops_scale=e)
-            print(f"[DGA-TPU] grouped E{e} {m}x{n}x{k} winner: {win}")
+            print(f"[DGA-TPU] grouped{'-nt' if nt else ''} E{e} "
+                  f"{m}x{n}x{k} winner: {win}")
             continue
         m, n, k = shape
         candidates = None

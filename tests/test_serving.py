@@ -210,3 +210,67 @@ def test_engine_mesh_chunked_decode_matches(model):
                  decode_chunk=3).generate([[1, 2, 3], [4, 5]],
                                           max_new_tokens=6)
     assert got == ref
+
+
+def test_batched_admission_one_dispatch_matches_serial(model):
+    """VERDICT r2 item 6: admissions sharing a bucket prefill in ONE
+    dispatch (dispatch count O(buckets), not O(prompts)) and produce the
+    same tokens/caches as serial single-admission engines."""
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = model
+    prompts = [[(i * 11 + j) % cfg.vocab_size for j in range(6 + i)]
+               for i in range(4)]                      # all bucket 16
+    ref = Engine(params, cfg, max_slots=4, max_seq_len=32)
+    ref_out = []
+    for p in prompts:                                  # serial admissions
+        rid = ref.scheduler.submit(p, 2)
+        while ref.scheduler.has_work:
+            ref.step()
+        ref_out.append(ref.scheduler.pop_result(rid).output)
+
+    eng = Engine(params, cfg, max_slots=4, max_seq_len=32)
+    ids = [eng.scheduler.submit(p, 2) for p in prompts]
+    metrics.reset()
+    eng.step()                                         # admits all four
+    snap = metrics.snapshot()
+    assert snap.get("engine.prefills", 0) == 4
+    assert snap.get("engine.prefill_dispatches", 0) == 1, snap
+    while eng.scheduler.has_work:
+        eng.step()
+    out = [eng.scheduler.pop_result(i).output for i in ids]
+    assert out == ref_out
+
+
+def test_batched_admission_two_buckets_two_dispatches(model):
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = model
+    eng = Engine(params, cfg, max_slots=4, max_seq_len=64)
+    eng.scheduler.submit([1, 2, 3], 1)                 # bucket 16
+    eng.scheduler.submit([4] * 20, 1)                  # bucket 32
+    metrics.reset()
+    eng.step()
+    snap = metrics.snapshot()
+    assert snap.get("engine.prefill_dispatches", 0) == 2, snap
+
+
+def test_batched_admission_mesh_matches_single_host(model):
+    """Mesh batched admission: 3 same-bucket prompts in one sharded
+    dispatch; greedy first tokens equal the single-host engine's."""
+    from deepgemm_ascend_tpu.parallel import make_mesh
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = model
+    prompts = [[(i * 5 + j) % cfg.vocab_size for j in range(8)]
+               for i in range(3)]
+    ref = Engine(params, cfg, max_slots=4, max_seq_len=32)
+    rids = [ref.scheduler.submit(p, 1) for p in prompts]
+    ref_first = ref.step()
+
+    mesh = make_mesh(dp=2, ep=2, tp=2)
+    eng = Engine(params, cfg, max_slots=4, max_seq_len=32, mesh=mesh)
+    ids = [eng.scheduler.submit(p, 1) for p in prompts]
+    metrics.reset()
+    out = eng.step()
+    snap = metrics.snapshot()
+    assert snap.get("engine.prefill_dispatches", 0) == 1, snap
+    for rid, mid in zip(rids, ids):
+        assert ref_first[rid][0] == out[mid][0], (rid, mid)
