@@ -136,7 +136,11 @@ class Engine:
         self._prefill_cache: dict = {}
         self._mesh_prefill_cache: dict = {}
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
-                      "decode_tokens": 0, "decode_time_s": 0.0}
+                      "decode_tokens": 0, "decode_time_s": 0.0,
+                      # slot-steps executed by decode dispatches (chunk ×
+                      # active slots) — decode_tokens/decode_slot_steps is
+                      # the chunked-decode utilization (1 − waste).
+                      "decode_slot_steps": 0}
 
         self._chunk_fn = None
         if self.decode_chunk > 1:
@@ -337,6 +341,7 @@ class Engine:
                 out_np = np.asarray(nxt)[None]        # (1, slots)
             self.stats["decode_time_s"] += time.perf_counter() - t0
             self.stats["decode_steps"] += chunk
+            self.stats["decode_slot_steps"] += chunk * len(active)
             for t in range(out_np.shape[0]):
                 slot_tokens = {}
                 for slot in active:

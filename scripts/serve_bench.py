@@ -96,6 +96,88 @@ def _engine_mode(args):
     }))
 
 
+def _chunksweep_mode(args):
+    """Quantify the decode_chunk tradeoff (VERDICT r2 weak #8): staggered
+    request lengths expose the ≤N−1 wasted steps per finished request and
+    the ≤N-step admission latency. Utilization = decode tokens emitted
+    over decode slot-steps executed."""
+    import jax
+
+    from deepgemm_ascend_tpu.models import TINY, V2_LITE, init_params
+    from deepgemm_ascend_tpu.serving import Engine
+
+    cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    for chunk in (1, 2, 4, 8, 16):
+        eng = Engine(params, cfg, max_slots=args.batch,
+                     max_seq_len=args.steps + 24, decode_chunk=chunk)
+        prompts = [[1, 2, 3]] * args.batch
+        # Staggered lengths: request i stops after steps/2 + i·Δ tokens.
+        lens = [args.steps // 2
+                + (i * (args.steps // 2)) // max(args.batch - 1, 1)
+                for i in range(args.batch)]
+        eng.generate(prompts, max_new_tokens=8)   # warm compiles
+        eng.stats.update(decode_steps=0, tokens_out=0, decode_tokens=0,
+                         decode_time_s=0.0, decode_slot_steps=0)
+        ids = [eng.scheduler.submit(p, n) for p, n in zip(prompts, lens)]
+        t0 = time.perf_counter()
+        while eng.scheduler.has_work:
+            eng.step()
+        wall = time.perf_counter() - t0
+        for i in ids:
+            eng.scheduler.pop_result(i)
+        print(json.dumps({
+            "metric": "decode_chunk_tradeoff", "mode": "chunksweep",
+            "model": args.model, "slots": args.batch,
+            "decode_chunk": chunk,
+            "tokens_per_s_decode": round(eng.tokens_per_second, 1),
+            "tokens_per_s_wall": round(sum(lens) / wall, 1),
+            "utilization": round(
+                eng.stats["decode_tokens"]
+                / max(eng.stats["decode_slot_steps"], 1), 3),
+            "decode_steps": eng.stats["decode_steps"],
+        }))
+
+
+def _mixed_mode(args):
+    """Mixed prefill+decode throughput with ≥4 concurrent admissions per
+    step (VERDICT r2 item 6 done-criterion): 2×slots requests so slots
+    recycle mid-run; batched admission keeps dispatches O(buckets)."""
+    import jax
+
+    from deepgemm_ascend_tpu.models import TINY, V2_LITE, init_params
+    from deepgemm_ascend_tpu.serving import Engine
+    from deepgemm_ascend_tpu.utils.logging import metrics
+
+    cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = Engine(params, cfg, max_slots=args.batch,
+                 max_seq_len=args.steps + 40,
+                 decode_chunk=args.decode_chunk)
+    n_req = 2 * args.batch
+    prompts = [[(i * 3 + j) % cfg.vocab_size for j in range(24)]
+               for i in range(n_req)]                   # one bucket (32)
+    eng.generate(prompts[:args.batch], max_new_tokens=4)   # warm
+    eng.stats.update(decode_steps=0, tokens_out=0, decode_tokens=0,
+                     decode_time_s=0.0, prefills=0)
+    metrics.reset()
+    ids = [eng.scheduler.submit(p, args.steps) for p in prompts]
+    t0 = time.perf_counter()
+    while eng.scheduler.has_work:
+        eng.step()
+    wall = time.perf_counter() - t0
+    total = sum(len(eng.scheduler.pop_result(i).output) for i in ids)
+    snap = metrics.snapshot()
+    print(json.dumps({
+        "metric": "mixed_prefill_decode_tokens_per_s", "mode": "mixed",
+        "model": args.model, "slots": args.batch, "requests": n_req,
+        "decode_chunk": args.decode_chunk,
+        "tokens_per_s_wall": round(total / wall, 1),
+        "prefills": eng.stats["prefills"],
+        "prefill_dispatches": int(snap.get("engine.prefill_dispatches", 0)),
+    }))
+
+
 def _scaling_mode(args):
     # Force a CPU mesh BEFORE jax initializes a backend.
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -147,7 +229,8 @@ def _scaling_mode(args):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="scan",
-                    choices=["scan", "engine", "scaling"])
+                    choices=["scan", "engine", "scaling", "chunksweep",
+                             "mixed"])
     ap.add_argument("--model", default="v2_lite", choices=["tiny", "v2_lite"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
@@ -160,7 +243,8 @@ def main(argv=None) -> int:
                          "cache-bandwidth cost")
     args = ap.parse_args(argv)
     {"scan": _scan_mode, "engine": _engine_mode,
-     "scaling": _scaling_mode}[args.mode](args)
+     "scaling": _scaling_mode, "chunksweep": _chunksweep_mode,
+     "mixed": _mixed_mode}[args.mode](args)
     return 0
 
 
