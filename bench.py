@@ -72,8 +72,8 @@ def main() -> int:
     # block_k = K lands on the static-scale-slice kernel. iters=256 keeps
     # the ~30 ms RPC floor under 15% of the measured chain (at iters=32 the
     # floor noise dominated and inflated results by up to +30%).
-    candidates = [GemmConfig(512, 512, 4096), GemmConfig(256, 1024, 4096),
-                  GemmConfig(512, 1024, 2048)]
+    candidates = [GemmConfig(1024, 256, 4096), GemmConfig(512, 512, 4096),
+                  GemmConfig(256, 1024, 4096), GemmConfig(512, 1024, 2048)]
     best_tf = 0.0
     for cfg in candidates:
         try:
