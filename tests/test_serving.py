@@ -143,7 +143,10 @@ def test_engine_chunked_decode_matches_single_step(model):
 
 def test_engine_mesh_mode_generates(model):
     """Mesh-mode engine (dp/ep virtual mesh): scan-prefill + sharded decode
-    end-to-end; greedy outputs must match the single-device engine."""
+    end-to-end; greedy outputs must match the single-device engine, and
+    mesh + decode_chunk must match the unchunked mesh engine (merged with
+    the former test_engine_mesh_chunked_decode_matches to amortize the
+    expensive virtual-mesh engine compile)."""
     from deepgemm_ascend_tpu.parallel import make_mesh
     cfg, params = model
     mesh = make_mesh(dp=2, ep=4, tp=1)
@@ -155,6 +158,10 @@ def test_engine_mesh_mode_generates(model):
     # dp/ep sharding and the scan prefill are numerically identical paths
     # (flash attention both sides, per-token quantization) → same tokens.
     assert got == ref
+    chunked = Engine(params, cfg, max_slots=2, max_seq_len=64, mesh=mesh,
+                     decode_chunk=3).generate([[1, 2, 3], [4, 5]],
+                                              max_new_tokens=6)
+    assert chunked == ref
 
 
 def test_metrics_counters_move(model):
@@ -198,18 +205,6 @@ def test_scheduler_pop_result_releases(model):
         eng.step()
     assert eng.scheduler.pop_result(rid).output
     assert rid not in eng.scheduler.finished  # long-running servers don't leak
-
-
-def test_engine_mesh_chunked_decode_matches(model):
-    from deepgemm_ascend_tpu.parallel import make_mesh
-    cfg, params = model
-    mesh = make_mesh(dp=2, ep=4, tp=1)
-    ref = Engine(params, cfg, max_slots=2, max_seq_len=64,
-                 mesh=mesh).generate([[1, 2, 3], [4, 5]], max_new_tokens=6)
-    got = Engine(params, cfg, max_slots=2, max_seq_len=64, mesh=mesh,
-                 decode_chunk=3).generate([[1, 2, 3], [4, 5]],
-                                          max_new_tokens=6)
-    assert got == ref
 
 
 def test_batched_admission_one_dispatch_matches_serial(model):
