@@ -290,12 +290,17 @@ class Engine:
                     jnp.asarray(lens), jnp.asarray(slots))
             metrics.inc("engine.prefill_dispatches")
             firsts = np.asarray(self._sample(last_logits))  # (s_pad,)
+            # One scatter per array per GROUP (not per admission): the
+            # slots/lens arrays already exist, so the state update is two
+            # dispatches regardless of S.
+            g = len(group)
+            v_slots = jnp.asarray(slots[:g])
+            self.seq_lens = self.seq_lens.at[v_slots].set(
+                jnp.asarray(lens[:g]))
+            self.last_tokens = self.last_tokens.at[v_slots].set(
+                jnp.asarray(firsts[:g].astype(np.int32)))
             for i, adm in enumerate(group):
                 first_tok = int(firsts[i])
-                self.seq_lens = self.seq_lens.at[adm.slot].set(
-                    len(adm.prompt))
-                self.last_tokens = self.last_tokens.at[adm.slot].set(
-                    first_tok)
                 self.stats["prefills"] += 1
                 self.stats["tokens_out"] += 1
                 metrics.inc("engine.prefills")

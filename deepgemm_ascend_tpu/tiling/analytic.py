@@ -96,8 +96,10 @@ def get_cost_params(op: str | None, info: plat.PlatformInfo) -> CostParams:
         entry = calib.get(op)
         if entry is None and op.endswith("_nt"):
             entry = calib.get(op[:-3])
-    if entry is None:
-        entry = calib.get("gemm") if op is None else None
+    # op=None keeps the nominal constants: callers that want calibrated
+    # estimates pass the op explicitly (selector/predictor/autotuner do);
+    # silently remapping None to the bf16-gemm fit would change every
+    # legacy estimate and break the native-equivalence oracle on-device.
     if entry is None:
         return dataclasses.replace(_NOMINAL, hbm_gbps=info.hbm_gbps)
     return CostParams(

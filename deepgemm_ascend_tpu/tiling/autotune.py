@@ -175,7 +175,7 @@ class Autotuner:
             info = plat.detect()
             candidates.sort(key=lambda c: analytic.estimate_time(
                 m, n, k, c.block_m, c.block_n, c.block_k,
-                isz, isz, osz, info, in_dtype).time_s)
+                isz, isz, osz, info, in_dtype, op=self._op).time_s)
             full_k = [c for c in candidates if c.block_k >= k][:2]
             head = candidates[:max_candidates]
             candidates = head + [c for c in full_k if c not in head]

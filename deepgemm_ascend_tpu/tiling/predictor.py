@@ -162,7 +162,12 @@ class TilingPredictor:
             # Contiguous grouped: the layout fixes block_m = M_per_expert
             # (ops/grouped_gemm.py) — the sweep searched only (bn, bk) with
             # bm pinned, so constrain the pool to the trained distribution.
-            cands = sorted({(m, bn, bk) for _, bn, bk in cands})
+            # Re-pinning bm invalidates enumerate_candidates' per-triple
+            # VMEM check (a (bn, bk) pair legal at small bm can blow VMEM
+            # at bm=m) — re-judge each pinned triple.
+            cands = sorted({(m, bn, bk) for _, bn, bk in cands
+                            if analytic.judge_space(m, bn, bk, a_i, a_i,
+                                                    o_i, info)})
         if len(cands) < self.min_candidates:
             return None
         # Rank only the analytically-plausible pool (≙ the reference's
@@ -221,7 +226,9 @@ def default_weights_path(op: str = "fp8_gemm") -> Optional[str]:
     reference, which declared model dirs but shipped no weights —
     SURVEY.md §2.4)."""
     env = os.environ.get(DEFAULT_WEIGHTS_ENV)
-    if env and os.path.exists(env):
+    if env and op == "fp8_gemm" and os.path.exists(env):
+        # The env var is the documented single-model override; it replaces
+        # the fp8_gemm weights only — other ops keep their packaged models.
         return env
     packaged = os.path.join(os.path.dirname(__file__), "..", "data",
                             f"predictor_{op}.npz")

@@ -70,8 +70,16 @@ def _maybe_enable_default_predictor() -> None:
     from . import platform as plat
     from .predictor import DEFAULT_WEIGHTS_ENV, enable_default_predictor
     if os.environ.get(DEFAULT_WEIGHTS_ENV):
-        # Explicit weights path: single-op override (fp8_gemm by default).
+        # Explicit weights path overrides the fp8_gemm model (no device
+        # gate) — the OTHER packaged per-op predictors still install below
+        # when the device matches, instead of silently downgrading to
+        # analytic for every non-fp8 op.
         enable_default_predictor(op="fp8_gemm", strategy="topk_median")
+        if plat.detect().device_kind != "tpu v5e":
+            return
+        for op in PREDICTOR_OPS:
+            if op not in _predictors:
+                enable_default_predictor(op=op, strategy="topk_median")
         return
     if plat.detect().device_kind != "tpu v5e":
         return   # packaged weights are v5e-swept; wrong device → stay tier-3

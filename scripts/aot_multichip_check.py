@@ -160,7 +160,8 @@ def main() -> int:
         jobs.append(("decode_sampled",
                      make_sharded_decode_step(
                          mesh, cfg, params,
-                         sample={"temperature": 1.0, "top_k": 8}),
+                         sample={"temperature": 1.0, "top_k": 8,
+                                 "top_p": 0.9}),
                      (p_abs, t_abs, c_abs, t_abs, key_abs)))
     if args.bucket:
         # Batched-admission signature: (S, bucket) prompts + (S,) slot and

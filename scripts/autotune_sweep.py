@@ -116,7 +116,19 @@ def main(argv=None) -> int:
                 rng = np.random.default_rng(12345)
                 w = rng.lognormal(0.0, 1.0, e)
                 toks = np.maximum((w / w.sum() * e * m_per).astype(int), 1)
-                toks[0] += e * m_per - int(toks.sum())   # exact total
+                # Repair the rounding drift to an exact total by walking
+                # the largest entries, never below 1 token/expert (a naive
+                # toks[0] += deficit can go non-positive when many experts
+                # clamp to 1, corrupting the contiguous layout).
+                drift = e * m_per - int(toks.sum())
+                order = np.argsort(-toks)
+                i = 0
+                while drift != 0:
+                    j = order[i % e]
+                    step = 1 if drift > 0 else (-1 if toks[j] > 1 else 0)
+                    toks[j] += step
+                    drift -= step
+                    i += 1
                 bm_layout = min(128, m_per)
             else:
                 toks = [m_per] * e
@@ -285,7 +297,8 @@ def main(argv=None) -> int:
                 triples = analytic.enumerate_candidates(m, n, k, 2, 2, 4,
                                                         info, 128)
                 triples.sort(key=lambda t: analytic.estimate_time(
-                    m, n, k, *t, 2, 2, 4, info, jnp.bfloat16).time_s)
+                    m, n, k, *t, 2, 2, 4, info, jnp.bfloat16,
+                    op="gemm").time_s)
                 candidates = [GemmConfig(bm, bn, bk)
                               for bm, bn, bk in triples[:6]]
                 for bm, bn, bk in triples[:3]:

@@ -40,6 +40,8 @@ OP_META = {
     "fp8_gemm_nt": (1, 2, V5E_PEAK),
     "grouped_gemm": (1, 2, V5E_PEAK),
     "grouped_gemm_masked": (1, 2, V5E_PEAK),
+    "grouped_gemm_nt": (1, 2, V5E_PEAK),
+    "grouped_gemm_masked_nt": (1, 2, V5E_PEAK),
 }
 OP_ALIASES = {"grouped_masked": "grouped_gemm_masked"}
 

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-3 harvest: package sweep winners, retrain the per-op predictors
+# whose training sets grew (fp8_gemm_nt completed its 32-shape suite,
+# grouped ops gained NT/uneven/new-point records), refit the calibrated
+# cost model, and regenerate the benchmark table.
+set -eu
+cd "$(dirname "$0")/.."
+PY=python
+
+echo "=== [1/4] publish tilings ==="
+$PY scripts/publish_tilings.py 'autotune_results*/*_r0.jsonl' \
+    --device tpu_v5e
+
+echo "=== [2/4] retrain per-op predictors (holdout report) ==="
+for op in fp8_gemm_nt grouped_gemm grouped_gemm_masked; do
+  $PY scripts/train_predictor.py 'autotune_results*/*_r0.jsonl' \
+      --op "$op" --holdout 0.25 \
+      --out "deepgemm_ascend_tpu/data/predictor_${op}.npz" \
+      | tail -20
+done
+
+echo "=== [3/4] recalibrate the cost model ==="
+$PY scripts/calibrate_cost_model.py 'autotune_results*/*_r0.jsonl' \
+    --device 'tpu v5e' --out deepgemm_ascend_tpu/data/cost_model.json
+
+echo "=== [4/4] regenerate benchmark table ==="
+$PY scripts/report_benchmarks.py 'autotune_results*/*_r0.jsonl' \
+    --out docs/BENCHMARKS.md
+echo "=== harvest done ==="

@@ -1,0 +1,9 @@
+#!/bin/bash
+# Chip-work chain after the r4b sweep: straggler probe (VERDICT r2 item
+# 4 decomposition) then full-size layer bench (item 8).
+set -u
+cd "$(dirname "$0")/.."
+python scripts/straggler_probe.py > straggler_probe_r3.log 2>&1
+echo "=== straggler probe done ==="
+python scripts/layer_bench.py > layer_bench_r3.log 2>&1
+echo "=== layer bench done ==="

@@ -30,6 +30,9 @@ OP_KEYING = {
     # MoE prefill sweeps record under the runtime key (m = layout block_m)
     "grouped_gemm": ("float8_e4m3fn", "bfloat16", 128),
     "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16", 128),
+    # K-major (DeepGEMM-native) grouped weights — separate runtime keys
+    "grouped_gemm_nt": ("float8_e4m3fn", "bfloat16", 128),
+    "grouped_gemm_masked_nt": ("float8_e4m3fn", "bfloat16", 128),
     # legacy sweep records written before the op-key fix
     "grouped_masked": ("float8_e4m3fn", "bfloat16", 128),
 }

@@ -41,7 +41,9 @@ def main(argv=None) -> int:
                  "fp8_gemm_nt": ("float8_e4m3fn", "bfloat16"),
                  "grouped_gemm": ("float8_e4m3fn", "bfloat16"),
                  "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16"),
-                 "grouped_masked": ("float8_e4m3fn", "bfloat16")}
+                 "grouped_masked": ("float8_e4m3fn", "bfloat16"),
+                 "grouped_gemm_nt": ("float8_e4m3fn", "bfloat16"),
+                 "grouped_gemm_masked_nt": ("float8_e4m3fn", "bfloat16")}
 
     best = {}
     analytic_pick = {}   # idx 0 = the analytic tier's choice (sweep order

@@ -227,6 +227,12 @@ def _scaling_mode(args):
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS explicitly: this image's sitecustomize
+    # force-registers the TPU plugin and ignores the env var alone
+    # (same workaround as tests/conftest.py / scripts/xla_matmul.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="scan",
                     choices=["scan", "engine", "scaling", "chunksweep",

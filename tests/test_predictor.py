@@ -243,3 +243,24 @@ def test_grouped_contiguous_pool_pins_block_m():
     cfg = p.predict(512, 1408, 2048, jnp.float8_e4m3fn, jnp.bfloat16,
                     op="grouped_gemm")
     assert cfg is None or cfg.block_m == 512
+
+
+def test_grouped_contiguous_pool_is_vmem_legal():
+    """Re-pinning bm=m must re-judge VMEM: a (bn, bk) pair legal at small
+    bm can blow VMEM at bm=m (review r3 finding — the predictor could
+    select an infeasible tile that OOMs at Mosaic compile)."""
+    from deepgemm_ascend_tpu.tiling import analytic, platform as plat
+    m, n, k = 512, 2048, 1408
+    info = plat.detect()
+    cands = analytic.enumerate_candidates(m, n, k, 1, 1, 2, info)
+    pinned = sorted({(m, bn, bk) for _, bn, bk in cands
+                     if analytic.judge_space(m, bn, bk, 1, 1, 2, info)})
+    assert pinned, "pinned pool empty"
+    # The unfiltered re-pair would contain illegal triples at this shape;
+    # the filtered pool must not.
+    for bm, bn, bk in pinned:
+        assert analytic.judge_space(bm, bn, bk, 1, 1, 2, info), (bm, bn, bk)
+    unfiltered = {(m, bn, bk) for _, bn, bk in cands}
+    assert any(not analytic.judge_space(bm, bn, bk, 1, 1, 2, info)
+               for bm, bn, bk in unfiltered), \
+        "shape no longer exercises the VMEM cliff; pick a bigger one"

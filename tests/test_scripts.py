@@ -88,3 +88,16 @@ def test_heavy_tail_flag(tmp_path):
     assert r.returncode == 0
     a = np.fromfile(tmp_path / "input" / "x1_gm.bin", np.float16)
     assert (a < 0).any()  # heavy-tail has signs; uniform [1,10) does not
+
+
+def test_serve_bench_mixed_smoke(tmp_path):
+    """Smoke the batched-admission mixed prefill+decode bench mode on CPU:
+    valid JSON line, O(buckets) prefill dispatches for 2x-slots requests."""
+    import json
+    r = run("serve_bench.py", "--mode", "mixed", "--model", "tiny",
+            "--batch", "2", "--steps", "3", cwd=ROOT)
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "mixed_prefill_decode_tokens_per_s"
+    assert rec["prefills"] == 4          # 2x slots requests all served
+    assert rec["prefill_dispatches"] <= rec["prefills"]
