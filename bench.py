@@ -68,7 +68,7 @@ def main() -> int:
         return 1
 
     flops = 2 * M * N * K
-    # Winners of the on-chip autotune sweep (autotune_results/, 2026-08-16);
+    # Winners of the on-chip autotune sweeps (autotune_results_r2*/);
     # block_k = K lands on the static-scale-slice kernel. iters=256 keeps
     # the ~30 ms RPC floor under 15% of the measured chain (at iters=32 the
     # floor noise dominated and inflated results by up to +30%).

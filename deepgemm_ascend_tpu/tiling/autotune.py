@@ -186,6 +186,15 @@ class Autotuner:
         # flops_scale: e.g. the expert count for grouped problems (the
         # (m, n, k) key is per-expert; real work is E× that).
         flops = 2 * m * n * k * flops_scale
+        # Admission gate: a measurement faster than the shape's roofline
+        # light-speed is corrupted timing (RPC-floor subtraction collapsing
+        # under transport degradation), not a fast kernel. Re-measure once;
+        # if still impossible, record as failed (time_s < 0) so no
+        # downstream argmin can crown it (≙ msprof trust, benchmark.py:400).
+        from ..bench import roofline as _roofline
+        _rf = _roofline.gemm_roofline(m, n, k, in_dtype, out_dtype,
+                                      plat.detect())
+        floor_s = _rf.light_speed_s * flops_scale / 1.05
 
         for idx, cfg in enumerate(candidates):
             if idx in done and (done[idx].time_s > 0
@@ -200,6 +209,13 @@ class Autotuner:
                 self._mark_in_flight(idx)
                 try:
                     secs = self._time(cfg)
+                    if secs < floor_s:
+                        secs = self._time(cfg)  # transient glitch? once more
+                    if secs < floor_s:
+                        raise RuntimeError(
+                            f"implausible timing {secs:.3e}s < light-speed "
+                            f"{_rf.light_speed_s * flops_scale:.3e}s — "
+                            f"degraded transport, rejecting measurement")
                     r = SweepResult(m, n, k, self._op, cfg.to_dict(),
                                     time_s=secs, tflops=flops / secs / 1e12,
                                     correct=True, idx=idx)

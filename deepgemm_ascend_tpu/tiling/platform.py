@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -88,11 +89,21 @@ _KNOWN = {
 
 @functools.cache
 def detect() -> PlatformInfo:
-    """Detect the local accelerator; fall back to v5e-like defaults."""
-    try:
-        kind = jax.devices()[0].device_kind.lower()
-    except Exception:  # pragma: no cover - no backend at all
-        kind = "cpu"
+    """Detect the local accelerator; fall back to v5e-like defaults.
+
+    ``DGA_DEVICE`` overrides detection (e.g. ``DGA_DEVICE="tpu v5e"``):
+    offline tooling (harvest, reports, cost-model fits) can then run with
+    the target device's envelope without touching the accelerator — ≙ the
+    reference tuners' SOC_VERSION override (`framework/CMakeLists.txt:7`).
+    """
+    env = os.environ.get("DGA_DEVICE")
+    if env:
+        kind = env.lower()
+    else:
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:  # pragma: no cover - no backend at all
+            kind = "cpu"
     for key, info in _KNOWN.items():
         if key in kind:
             return info

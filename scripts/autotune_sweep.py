@@ -270,13 +270,21 @@ def main(argv=None) -> int:
 
             in_dtype, m2 = jnp.float8_e4m3fn, m
         else:
-            a = jnp.asarray(golden.gen_heavy_tail((m, k), seed=0),
+            # Dense bf16 in any storage layout: op "gemm" / "gemm_nt" /
+            # "gemm_tn" / "gemm_tt" (≙ the reference's 4-way layout
+            # dispatch, do_tiling.h:24-26 — each layout gets its own sweep
+            # records, cache keys, and calibration entry).
+            layout = args.op[5:] if args.op.startswith("gemm_") else "nn"
+            a_shape = (k, m) if layout[0] == "t" else (m, k)
+            b_shape = (n, k) if layout[1] == "t" else (k, n)
+            a = jnp.asarray(golden.gen_heavy_tail(a_shape, seed=0),
                             jnp.bfloat16)
-            b = jnp.asarray(golden.gen_heavy_tail((k, n), seed=1),
+            b = jnp.asarray(golden.gen_heavy_tail(b_shape, seed=1),
                             jnp.bfloat16)
 
-            def time_fn(cfg, a=a, b=b):
-                f = lambda x, y: gemm_with_config(x, y, config=cfg)
+            def time_fn(cfg, a=a, b=b, layout=layout):
+                f = lambda x, y: gemm_with_config(x, y, config=cfg,
+                                                  layout=layout)
                 t = timing.time_gemm_like(f, a, b, iters=args.iters,
                                           repeats=2,
                                           min_chain_seconds=args.min_chain)

@@ -50,6 +50,9 @@ NOMINAL = dict(hbm_gbps=819.0, vmem_gbps=1300.0, startup0=3e-6,
 
 
 def load_records(paths):
+    from deepgemm_ascend_tpu.bench import records as recmod
+    from deepgemm_ascend_tpu.tiling import platform as plat
+    info = plat.detect()
     recs = {}
     for path in paths:
         with open(path) as f:
@@ -61,8 +64,8 @@ def load_records(paths):
                     r = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if r.get("time_s", -1) <= 0:
-                    continue
+                if not recmod.plausible(r, info):
+                    continue  # failed or corrupt-timing record
                 op = OP_ALIASES.get(r.get("op", "gemm"), r.get("op", "gemm"))
                 if op not in OP_META:
                     continue
@@ -166,6 +169,9 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--min-records", type=int, default=40)
     args = ap.parse_args(argv)
+    # Screen records against the TARGET device's roofline even though the
+    # fit itself runs on CPU (and must not touch a busy/down chip).
+    os.environ.setdefault("DGA_DEVICE", args.device)
 
     import jax
     jax.config.update("jax_platforms", "cpu")

@@ -6,6 +6,9 @@
 set -eu
 cd "$(dirname "$0")/.."
 PY=python
+# Target-device envelope for the plausibility screen + report rooflines;
+# also lets the harvest run while the chip is busy or down.
+export DGA_DEVICE="tpu v5e"
 
 echo "=== [1/4] publish tilings ==="
 $PY scripts/publish_tilings.py 'autotune_results*/*_r0.jsonl' \

@@ -47,9 +47,15 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
+    if args.device:
+        # Let detection answer for the target device even off-accelerator
+        # (harvest runs while the chip is busy/down).
+        os.environ.setdefault("DGA_DEVICE", args.device.replace("_", " "))
+    from deepgemm_ascend_tpu.bench import records as recmod
     from deepgemm_ascend_tpu.tiling import platform as plat
     from deepgemm_ascend_tpu.tiling.cache import cache_key
 
+    info = plat.detect()
     device = args.device or plat.detect().device_kind.replace(" ", "_")
     out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "deepgemm_ascend_tpu", "data",
@@ -67,8 +73,8 @@ def main(argv=None) -> int:
                         r = json.loads(line)
                     except json.JSONDecodeError:
                         continue
-                    if "m" not in r or r.get("time_s", -1) <= 0:
-                        continue
+                    if "m" not in r or not recmod.plausible(r, info):
+                        continue  # failed / faster-than-light (degraded rig)
                     op = OP_ALIAS.get(r.get("op", "gemm"),
                                       r.get("op", "gemm"))
                     if op not in OP_KEYING:

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
                     help="device label (default: detected)")
     args = ap.parse_args(argv)
 
+    if args.device:
+        os.environ.setdefault("DGA_DEVICE", args.device)
+    from deepgemm_ascend_tpu.bench import records as recmod
     from deepgemm_ascend_tpu.bench.roofline import gemm_roofline
     from deepgemm_ascend_tpu.tiling import platform as plat
 
@@ -64,11 +67,11 @@ def main(argv=None) -> int:
                         continue  # tiling-cache lines share the dir
                     key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
                     counts[key] += 1
-                    if r.get("idx") == 0 and r.get("time_s", -1) > 0:
+                    ok = recmod.plausible(r, info)  # screens corrupt timing
+                    if r.get("idx") == 0 and ok:
                         analytic_pick[key] = r
-                    if r.get("time_s", -1) > 0 and (
-                            key not in best
-                            or r["time_s"] < best[key]["time_s"]):
+                    if ok and (key not in best
+                               or r["time_s"] < best[key]["time_s"]):
                         best[key] = r
 
     lines = [

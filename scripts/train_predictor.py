@@ -27,6 +27,10 @@ def _is_fp8_op(op):
 def _load_grouped(paths, op_filter=None):
     """jsonl → {(op, m, n, k): [(bm, bn, bk, time_s), …]} (clean records)."""
     import json
+
+    from deepgemm_ascend_tpu.bench import records as recmod
+    from deepgemm_ascend_tpu.tiling import platform as plat
+    info = plat.detect()
     groups = {}
     for path in paths:
         with open(path) as f:
@@ -38,8 +42,8 @@ def _load_grouped(paths, op_filter=None):
                     r = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if r.get("time_s", -1) <= 0:
-                    continue
+                if not recmod.plausible(r, info):
+                    continue  # failed or corrupt-timing record
                 c = r["config"]
                 op = OP_ALIASES.get(r.get("op", "gemm"), r.get("op", "gemm"))
                 if op_filter and op != op_filter:
@@ -109,7 +113,10 @@ def main(argv=None) -> int:
                          "≙ the reference's per-operator-type MLP routing, "
                          "get_best_config.py:718-723)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", default="tpu v5e",
+                    help="target device for the record plausibility screen")
     args = ap.parse_args(argv)
+    os.environ.setdefault("DGA_DEVICE", args.device)
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # tiny MLP; never contend for the chip

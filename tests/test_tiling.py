@@ -210,6 +210,68 @@ def test_autotune_poisoned_config_recorded_and_skipped(tmp_path):
     assert recs[1].time_s == 0.5
 
 
+def test_autotune_rejects_faster_than_light(tmp_path):
+    # Times below the shape's roofline light-speed are corrupted transport
+    # timing (degraded rig), not fast kernels: re-measured once, then
+    # recorded as failed so no argmin can crown them.
+    cands = [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256)]
+    tuner, calls = _mk_tuner(tmp_path, {(128, 128, 128): 1e-12,
+                                        (256, 256, 256): 1e-12})
+    win = tuner.sweep_shape(512, 512, 512, cands)
+    assert win is None
+    assert len(calls) == 4  # each config measured twice (one retry)
+    with open(tmp_path / "results.jsonl") as f:
+        recs = [autotune.SweepResult.from_json(l) for l in f if l.strip()]
+    assert all(r.time_s < 0 and not r.correct for r in recs)
+
+
+def test_autotune_accepts_after_transient_glitch(tmp_path):
+    # First measurement implausible, the re-measure sane → admitted.
+    seq = [1e-12, 0.5]
+
+    def time_fn(cfg):
+        return seq.pop(0)
+
+    tuner = autotune.Autotuner(
+        None, time_fn, op="gemm",
+        results_path=str(tmp_path / "results.jsonl"),
+        cache=cache.TilingCache(str(tmp_path / "cache.jsonl")))
+    win = tuner.sweep_shape(512, 512, 512, [GemmConfig(128, 128, 128)])
+    assert win == GemmConfig(128, 128, 128)
+    with open(tmp_path / "results.jsonl") as f:
+        recs = [autotune.SweepResult.from_json(l) for l in f if l.strip()]
+    assert recs[0].time_s == 0.5 and recs[0].correct
+
+
+def test_records_plausibility_screen():
+    from deepgemm_ascend_tpu.bench import records as recmod
+    # Score against the target-device envelope (the conftest pins jax to
+    # CPU, whose envelope would misjudge real v5e records).
+    info = platform._KNOWN["v5e"]
+    sane = {"op": "fp8_gemm", "m": 4096, "n": 4096, "k": 4096,
+            "time_s": 780e-6, "tflops": 176.0}
+    assert recmod.plausible(sane, info)
+    # 1 ns for the same shape: orders of magnitude below light-speed.
+    assert not recmod.plausible(dict(sane, time_s=1e-9), info)
+    # failed records never pass
+    assert not recmod.plausible(dict(sane, time_s=-1.0), info)
+    # grouped: per-expert (m,n,k), E recovered from the stored tflops —
+    # E=8 experts of 128x512x512 in 8x the per-expert roofline is fine...
+    m, n, k, e = 128, 512, 512, 8
+    t_ok = e * 2 * m * n * k / 100e12  # 8 experts at 100 TF/s
+    tf = 2 * m * n * k * e / t_ok / 1e12
+    g = {"op": "grouped_gemm", "m": m, "n": n, "k": k,
+         "time_s": t_ok, "tflops": tf}
+    assert recmod.plausible(g, info)
+    # ...but the same total time claimed WITHOUT the E-scale (tflops
+    # consistent with E=1) on 1/8 of the work is still fine, while an
+    # 8-expert run claiming the single-expert roofline time is not.
+    t_bad = 0.5 * 2 * m * n * k / info.peak_flops(jnp.float8_e4m3fn)
+    g_bad = {"op": "grouped_gemm", "m": m, "n": n, "k": k,
+             "time_s": t_bad, "tflops": 2 * m * n * k * e / t_bad / 1e12}
+    assert not recmod.plausible(g_bad, info)
+
+
 def test_autotune_resume_skips_done(tmp_path):
     cands = [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256)]
     tuner, calls = _mk_tuner(tmp_path, {(128, 128, 128): 0.2,
