@@ -94,7 +94,7 @@ def get_cost_params(op: str | None, info: plat.PlatformInfo) -> CostParams:
     entry = None
     if op is not None:
         entry = calib.get(op)
-        if entry is None and op.endswith("_nt"):
+        if entry is None and op[-3:] in ("_nt", "_tn", "_tt"):
             entry = calib.get(op[:-3])
     # op=None keeps the nominal constants: callers that want calibrated
     # estimates pass the op explicitly (selector/predictor/autotuner do);

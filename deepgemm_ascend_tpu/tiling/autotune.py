@@ -151,6 +151,7 @@ class Autotuner:
         out_dtype=jnp.float32,
         k_granularity: int = 128,
         max_candidates: Optional[int] = None,
+        explore_extra: int = 0,
         verbose: bool = False,
         flops_scale: float = 1.0,
     ) -> Optional[GemmConfig]:
@@ -178,7 +179,19 @@ class Autotuner:
                 isz, isz, osz, info, in_dtype, op=self._op).time_s)
             full_k = [c for c in candidates if c.block_k >= k][:2]
             head = candidates[:max_candidates]
-            candidates = head + [c for c in full_k if c not in head]
+            pruned = head + [c for c in full_k if c not in head]
+            if explore_extra > 0:
+                # Stratified sample of the off-prefix tail. The prefix-only
+                # sweep records teach a predictor nothing beyond what the
+                # analytic sort already knew (every training row IS the
+                # analytic shortlist); these extras give the learned tier
+                # off-policy coverage — appended AFTER the prefix so a
+                # resumed sweep's record indices stay aligned.
+                tail = [c for c in candidates[max_candidates:]
+                        if c not in pruned]
+                step = max(1, len(tail) // explore_extra)
+                pruned += tail[::step][:explore_extra]
+            candidates = pruned
 
         done = self._load_done()
         poisoned = self._poisoned_idx()

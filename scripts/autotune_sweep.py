@@ -24,7 +24,8 @@ def main(argv=None) -> int:
     ap.add_argument("--suite", default="reference",
                     choices=["reference", "dynamic", "headline", "grouped"])
     ap.add_argument("--op", default="fp8_gemm",
-                    choices=["gemm", "fp8_gemm", "fp8_gemm_nt",
+                    choices=["gemm", "gemm_nt", "gemm_tn", "gemm_tt",
+                             "fp8_gemm", "fp8_gemm_nt",
                              "grouped_gemm_masked",
                              "grouped_gemm_contiguous",
                              "grouped_gemm_masked_nt",
@@ -43,6 +44,9 @@ def main(argv=None) -> int:
     ap.add_argument("--cache", default=None,
                     help="persistent tiling cache path (default: "
                          "<out-dir>/tilings.jsonl)")
+    ap.add_argument("--explore-extra", type=int, default=0,
+                    help="stratified off-prefix candidates appended after "
+                         "the analytic prefix (predictor training coverage)")
     ap.add_argument("--max-candidates", type=int, default=20,
                     help="analytically-best prefix per shape (cost control; "
                          "the reference burned 5h/shape unpruned)")
@@ -176,7 +180,8 @@ def main(argv=None) -> int:
             win = tuner.sweep_shape(
                 bm_layout, n, k, candidates=cands,
                 in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
-                max_candidates=args.max_candidates, verbose=True,
+                max_candidates=args.max_candidates,
+                explore_extra=args.explore_extra, verbose=True,
                 flops_scale=n_tiles)
             print(f"[DGA-TPU] contiguous{'-nt' if nt else ''}"
                   f"{'-uneven' if args.uneven else ''} E{e} "
@@ -225,7 +230,8 @@ def main(argv=None) -> int:
                 retry_failed=args.retry_poisoned)
             win = tuner.sweep_shape(
                 m, n, k, in_dtype=jnp.float8_e4m3fn, out_dtype=jnp.bfloat16,
-                max_candidates=args.max_candidates, verbose=True,
+                max_candidates=args.max_candidates,
+                explore_extra=args.explore_extra, verbose=True,
                 flops_scale=e)
             print(f"[DGA-TPU] grouped{'-nt' if nt else ''} E{e} "
                   f"{m}x{n}x{k} winner: {win}")
@@ -333,6 +339,8 @@ def main(argv=None) -> int:
             # truncate it.
             max_candidates=(None if candidates is not None
                             else args.max_candidates),
+            explore_extra=(0 if candidates is not None
+                           else args.explore_extra),
             verbose=True)
         print(f"[DGA-TPU] {m}x{n}x{k} winner: {win}")
     return 0

@@ -313,6 +313,21 @@ def test_autotune_max_candidates_prunes(tmp_path):
     assert len(calls) == 3
 
 
+def test_autotune_explore_extra_samples_off_prefix(tmp_path):
+    # explore_extra appends a stratified sample of the off-prefix tail
+    # AFTER the analytic prefix (so resumed record indices stay aligned).
+    tuner, calls = _mk_tuner(tmp_path, {})
+    tuner.sweep_shape(512, 512, 512, None, max_candidates=3)
+    base = len(calls)
+    tuner2, calls2 = _mk_tuner(tmp_path / "b", {})
+    (tmp_path / "b").mkdir()
+    tuner2.sweep_shape(512, 512, 512, None, max_candidates=3,
+                       explore_extra=4)
+    assert len(calls2) > base            # extras actually swept
+    assert calls2[:base] == calls        # prefix order unchanged
+    assert len(set(map(str, calls2))) == len(calls2)  # no duplicates
+
+
 def test_autotuner_retry_failed_reruns_poisoned(tmp_path):
     """retry_failed=True must re-time records a previous (systematically
     crashed) run marked poisoned, instead of replaying them forever."""
