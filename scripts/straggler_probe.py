@@ -61,10 +61,13 @@ def main(argv=None) -> int:
     def _copy_kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:]
 
+    from deepgemm_ascend_tpu.ops.gemm import _interpret_default
+
     def tiny(x):
         return pl.pallas_call(
             _copy_kernel, out_shape=jax.ShapeDtypeStruct((8, 128),
-                                                         jnp.float32))(x)
+                                                         jnp.float32),
+            interpret=_interpret_default())(x)
 
     x0 = jnp.zeros((8, 128), jnp.float32)
     floor = timing.time_fn(tiny, (x0,), **t_kw)
@@ -133,10 +136,11 @@ def main(argv=None) -> int:
                     "deepgemm_ascend_tpu.config",
                     fromlist=["SwizzleDir"]).SwizzleDir.N_MAJOR),
         }.items():
+            from deepgemm_ascend_tpu.ops.gemm import _interpret_default
             f = (lambda aq, asc, bq, bs, mm=mm, cfg=cfg:
                  gg._grouped_masked_call(mm, aq, asc, bq, bs, config=cfg,
                                          out_dtype=jnp.bfloat16,
-                                         interpret=False))
+                                         interpret=_interpret_default()))
             t = timing.time_fn(f, (a_q, a_s, b_q, bse), perturb=perturb,
                                **t_kw)
             report(tag, t.seconds, ls)
