@@ -57,12 +57,18 @@ def _features(m, n, k, tiles: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass
 class MLPWeights:
-    """Plain-numpy MLP: Linear→ReLU stack → scalar log-time."""
+    """Plain-numpy MLP: Linear→ReLU stack → scalar log-time.
+
+    ``meta`` carries the training provenance the decline policy consumes
+    (held-out pick/oracle + win-rate vs analytic, embedded by
+    ``scripts/train_predictor.py``); empty for pre-metadata checkpoints.
+    """
 
     ws: List[np.ndarray]
     bs: List[np.ndarray]
     mean: np.ndarray
     std: np.ndarray
+    meta: dict = dataclasses.field(default_factory=dict)
 
     def forward(self, x: np.ndarray) -> np.ndarray:
         h = (x - self.mean) / np.maximum(self.std, 1e-12)
@@ -70,10 +76,14 @@ class MLPWeights:
             h = np.maximum(h @ w + b, 0.0)
         return (h @ self.ws[-1] + self.bs[-1])[:, 0]
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, meta: Optional[dict] = None) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if meta is not None:
+            self.meta = dict(meta)
         payload = {"mean": self.mean, "std": self.std,
                    "n_layers": np.asarray(len(self.ws))}
+        if self.meta:
+            payload["meta_json"] = np.asarray(json.dumps(self.meta))
         for i, (w, b) in enumerate(zip(self.ws, self.bs)):
             payload[f"w{i}"] = w
             payload[f"b{i}"] = b
@@ -83,9 +93,15 @@ class MLPWeights:
     def load(cls, path: str) -> "MLPWeights":
         z = np.load(path)
         n = int(z["n_layers"])
+        meta = {}
+        if "meta_json" in z.files:
+            try:
+                meta = json.loads(str(z["meta_json"]))
+            except (json.JSONDecodeError, TypeError):
+                meta = {}
         return cls(ws=[z[f"w{i}"] for i in range(n)],
                    bs=[z[f"b{i}"] for i in range(n)],
-                   mean=z["mean"], std=z["std"])
+                   mean=z["mean"], std=z["std"], meta=meta)
 
     @classmethod
     def init(cls, hidden: Sequence[int] = DEFAULT_HIDDEN,
@@ -119,6 +135,18 @@ class TilingPredictor:
         self.guard_factor = guard_factor
         self.candidate_pool = candidate_pool
         self.op = op
+        # Evidence-based margin: a model whose own held-out report shows a
+        # pick/oracle regression and no demonstrated win over analytic
+        # must predict at least that regression's worth of advantage
+        # before overriding the analytic tier. Stays live (high-confidence
+        # picks still fire) but cannot silently regress uncached shapes on
+        # training sets that only cover the analytic prefix. Metrics come
+        # from the npz meta embedded at train time; absent meta (older
+        # checkpoints, e.g. the proven fp8_gemm model) keeps ``margin``.
+        po = self.weights.meta.get("holdout_pick_oracle")
+        wr = self.weights.meta.get("holdout_winrate")
+        if po and float(po) > 1.0 and (wr is None or float(wr) < 0.5):
+            self.margin = max(self.margin, float(po) - 1.0)
 
     def predict_batch(self, feats: np.ndarray) -> np.ndarray:
         """Batched MLP inference, ≤ MAX_BATCH rows per chunk

@@ -154,10 +154,6 @@ def main(argv=None) -> int:
                         epochs=args.epochs)
     pred = w.forward(feats)
     corr = float(np.corrcoef(pred, log_t)[0, 1])
-    w.save(args.out)
-    print(f"[DGA-TPU] trained on {len(feats)} records "
-          f"({len(train_keys)} shapes); train corr {corr:.3f}; "
-          f"saved {args.out}")
 
     eval_groups = ({k: groups[k] for k in shapes if tuple(k) in hold}
                    if hold else groups)
@@ -169,6 +165,27 @@ def main(argv=None) -> int:
               f"p90 {r['p90_slowdown_vs_oracle']:.3f}, "
               f"win-rate vs analytic {r['winrate_vs_analytic']} "
               f"(on {r['analytic_coverage']} shapes)")
+
+    # Embed the held-out report for the selector's default strategy: the
+    # decline policy widens its margin for models that never demonstrated
+    # a win over analytic (tiling/predictor.py, evidence-based margin).
+    rm = report.get("topk_median", next(iter(report.values())))
+    meta = {
+        "op": args.op or "all",
+        "train_records": len(feats),
+        "train_shapes": len(train_keys),
+        "train_corr": corr,
+        "holdout_kind": tag,
+        "holdout_shapes": rm["shapes"],
+        "holdout_pick_oracle": rm["mean_slowdown_vs_oracle"],
+        "holdout_winrate": rm["winrate_vs_analytic"],
+    }
+    w.save(args.out, meta=meta)
+    print(f"[DGA-TPU] trained on {len(feats)} records "
+          f"({len(train_keys)} shapes); train corr {corr:.3f}; "
+          f"saved {args.out} (meta: pick/oracle "
+          f"{meta['holdout_pick_oracle']:.3f}, win-rate "
+          f"{meta['holdout_winrate']})")
     return 0
 
 

@@ -25,6 +25,27 @@ def test_mlp_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(w2.forward(x), y1)
 
 
+def test_mlp_meta_roundtrip_and_evidence_margin(tmp_path):
+    w = predictor.MLPWeights.init(hidden=(8, 8), seed=1)
+    p = str(tmp_path / "mlp.npz")
+    meta = {"holdout_pick_oracle": 1.3, "holdout_winrate": 0.1, "op": "x"}
+    w.save(p, meta=meta)
+    w2 = predictor.MLPWeights.load(p)
+    assert w2.meta["holdout_pick_oracle"] == 1.3
+    # A model with a demonstrated held-out regression and no win over
+    # analytic must predict at least that regression before overriding.
+    tp = predictor.TilingPredictor(w2)
+    assert tp.margin == pytest.approx(0.3)
+    # A demonstrated win keeps the standard margin.
+    w2.meta = {"holdout_pick_oracle": 1.05, "holdout_winrate": 0.8}
+    assert (predictor.TilingPredictor(w2).margin
+            == predictor.NATIVE_MARGIN)
+    # No meta (older checkpoints): unchanged.
+    w2.meta = {}
+    assert (predictor.TilingPredictor(w2).margin
+            == predictor.NATIVE_MARGIN)
+
+
 def test_training_learns_analytic_cost():
     # synthetic dataset: label = analytic roofline estimate (log time)
     info = platform.detect()
