@@ -56,17 +56,41 @@ def flops_scale(r: dict) -> float:
     return max(1.0, round(tf * 1e12 * t / (2.0 * r["m"] * r["n"] * r["k"])))
 
 
-def roofline_fraction(r: dict, info: "_plat.PlatformInfo | None" = None) -> float:
-    """light_speed_s / measured_s for one record (>1 ⇒ faster than light).
+def light_speed_floor_s(op: str, m: int, n: int, k: int,
+                        in_dtype, out_dtype, scale: float,
+                        info: "_plat.PlatformInfo | None" = None) -> float:
+    """A PHYSICAL lower bound on the runtime of one sweep record.
 
-    Grouped problems scale both FLOPs and minimal traffic by E, so the
-    per-expert roofline divides out: fraction = E · light_speed(m,n,k) / t.
+    Dense: ``scale`` = 1 → the plain max(compute, memory) roofline.
+    Grouped: ``scale`` multiplies the per-(m,n,k) work, but it counts
+    m-TILES for uneven contiguous layouts (autotune_sweep records
+    m = layout block_m with flops_scale = n_tiles), which can exceed the
+    expert count — and only experts carry distinct B panels. A valid
+    bound for ANY expert count e ≥ 1 therefore scales compute and the
+    A/out traffic by ``scale`` but counts the B panel ONCE. Slightly
+    loose for masked grouped (where B truly scales with E); a loose
+    floor only admits borderline records, it never quarantines real ones.
     """
+    import jax.numpy as jnp
     info = info or _plat.detect()
-    in_dt, out_dt = OP_DTYPES.get(r.get("op", "gemm"), ("bfloat16", "float32"))
-    rl = _roofline.gemm_roofline(r["m"], r["n"], r["k"], in_dt, out_dt, info)
-    scale = flops_scale(r)
-    return rl.light_speed_s * scale / max(r["time_s"], 1e-12)
+    rl = _roofline.gemm_roofline(m, n, k, in_dtype, out_dtype, info)
+    if scale <= 1 or not op.startswith("grouped"):
+        return rl.light_speed_s * scale
+    isz = jnp.dtype(in_dtype).itemsize
+    osz = jnp.dtype(out_dtype).itemsize
+    comp = rl.compute_bound_s * scale
+    bytes_lb = scale * (m * k * isz + m * n * osz) + k * n * isz
+    return max(comp, bytes_lb / (info.hbm_gbps * 1e9))
+
+
+def roofline_fraction(r: dict, info: "_plat.PlatformInfo | None" = None) -> float:
+    """floor_s / measured_s for one record (>1 ⇒ faster than light)."""
+    info = info or _plat.detect()
+    op = r.get("op", "gemm")
+    in_dt, out_dt = OP_DTYPES.get(op, ("bfloat16", "float32"))
+    floor = light_speed_floor_s(op, r["m"], r["n"], r["k"], in_dt, out_dt,
+                                flops_scale(r), info)
+    return floor / max(r["time_s"], 1e-12)
 
 
 def plausible(r: dict, info: "_plat.PlatformInfo | None" = None,

@@ -101,8 +101,18 @@ class Autotuner:
         self._retry_failed = retry_failed
 
     # -- persistence ------------------------------------------------------
-    def _load_done(self) -> dict[int, SweepResult]:
-        done: dict[int, SweepResult] = {}
+    @staticmethod
+    def _cfg_key(config: dict) -> str:
+        return json.dumps(config, sort_keys=True)
+
+    def _load_done(self) -> dict[str, SweepResult]:
+        """Completed records keyed by CONFIG (canonical json), not index:
+        the candidate ordering is an ``estimate_time`` sort, which changes
+        whenever the calibrated cost model is refit — index-keyed resume
+        would silently pair old records with different configs. Later
+        lines override earlier ones (a retried config keeps its newest
+        record)."""
+        done: dict[str, SweepResult] = {}
         if self._results_path and os.path.exists(self._results_path):
             with open(self._results_path) as f:
                 for line in f:
@@ -111,28 +121,34 @@ class Autotuner:
                         continue
                     try:
                         r = SweepResult.from_json(line)
-                        done[r.idx] = r
+                        done[self._cfg_key(r.config)] = r
                     except (json.JSONDecodeError, TypeError):
                         continue
         return done
 
-    def _poisoned_idx(self) -> Optional[int]:
-        """Index in flight when a previous process died
-        (≙ `last_process_idx` checkpoint, `benchmark.py:256-298`)."""
+    def _poisoned_marker(self) -> tuple[Optional[str], Optional[int]]:
+        """(config-key, legacy index) in flight when a previous process
+        died (≙ `last_process_idx` checkpoint, `benchmark.py:256-298`).
+        Older checkpoints recorded only the index; it is honored
+        positionally for backward compatibility."""
         if self._ckpt_path and os.path.exists(self._ckpt_path):
             try:
                 with open(self._ckpt_path) as f:
-                    return json.load(f).get("in_flight_idx")
+                    d = json.load(f)
+                return d.get("in_flight_cfg"), d.get("in_flight_idx")
             except (json.JSONDecodeError, OSError):
-                return None
-        return None
+                return None, None
+        return None, None
 
-    def _mark_in_flight(self, idx: Optional[int]) -> None:
+    def _mark_in_flight(self, idx: Optional[int],
+                        config: Optional[dict] = None) -> None:
         if self._ckpt_path:
             os.makedirs(os.path.dirname(os.path.abspath(self._ckpt_path)),
                         exist_ok=True)
+            cfg_key = self._cfg_key(config) if config is not None else None
             with open(self._ckpt_path, "w") as f:
-                json.dump({"in_flight_idx": idx, "ts": time.time()}, f)
+                json.dump({"in_flight_idx": idx, "in_flight_cfg": cfg_key,
+                           "ts": time.time()}, f)
 
     def _append(self, r: SweepResult) -> None:
         if self._results_path:
@@ -194,7 +210,7 @@ class Autotuner:
             candidates = pruned
 
         done = self._load_done()
-        poisoned = self._poisoned_idx()
+        poisoned_cfg, poisoned_idx = self._poisoned_marker()
         best: Optional[SweepResult] = None
         # flops_scale: e.g. the expert count for grouped problems (the
         # (m, n, k) key is per-expert; real work is E× that).
@@ -204,22 +220,28 @@ class Autotuner:
         # under transport degradation), not a fast kernel. Re-measure once;
         # if still impossible, record as failed (time_s < 0) so no
         # downstream argmin can crown it (≙ msprof trust, benchmark.py:400).
-        from ..bench import roofline as _roofline
-        _rf = _roofline.gemm_roofline(m, n, k, in_dtype, out_dtype,
-                                      plat.detect())
-        floor_s = _rf.light_speed_s * flops_scale / 1.05
+        from ..bench import records as _records
+        _ls = _records.light_speed_floor_s(self._op, m, n, k, in_dtype,
+                                           out_dtype, flops_scale,
+                                           plat.detect())
+        floor_s = _ls / 1.05
 
         for idx, cfg in enumerate(candidates):
-            if idx in done and (done[idx].time_s > 0
-                                or not self._retry_failed):
-                r = done[idx]
-            elif idx == poisoned and not self._retry_failed:
-                r = SweepResult(m, n, k, self._op, cfg.to_dict(),
+            cfg_dict = cfg.to_dict()
+            ckey = self._cfg_key(cfg_dict)
+            prev = done.get(ckey)
+            hit_poison = (ckey == poisoned_cfg if poisoned_cfg is not None
+                          else idx == poisoned_idx)
+            if prev is not None and (prev.time_s > 0
+                                     or not self._retry_failed):
+                r = prev
+            elif hit_poison and not self._retry_failed:
+                r = SweepResult(m, n, k, self._op, cfg_dict,
                                 time_s=-1.0, tflops=0.0, correct=False,
                                 idx=idx)
                 self._append(r)
             else:
-                self._mark_in_flight(idx)
+                self._mark_in_flight(idx, cfg_dict)
                 try:
                     secs = self._time(cfg)
                     if secs < floor_s:
@@ -227,8 +249,8 @@ class Autotuner:
                     if secs < floor_s:
                         raise RuntimeError(
                             f"implausible timing {secs:.3e}s < light-speed "
-                            f"{_rf.light_speed_s * flops_scale:.3e}s — "
-                            f"degraded transport, rejecting measurement")
+                            f"{_ls:.3e}s — degraded transport, rejecting "
+                            f"measurement")
                     r = SweepResult(m, n, k, self._op, cfg.to_dict(),
                                     time_s=secs, tflops=flops / secs / 1e12,
                                     correct=True, idx=idx)

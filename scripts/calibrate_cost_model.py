@@ -36,6 +36,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 V5E_PEAK = 197e12
 OP_META = {
     "gemm": (2, 4, V5E_PEAK),
+    "gemm_nt": (2, 4, V5E_PEAK),
+    "gemm_tn": (2, 4, V5E_PEAK),
+    "gemm_tt": (2, 4, V5E_PEAK),
     "fp8_gemm": (1, 2, V5E_PEAK),
     "fp8_gemm_nt": (1, 2, V5E_PEAK),
     "grouped_gemm": (1, 2, V5E_PEAK),
@@ -71,12 +74,7 @@ def load_records(paths):
                     continue
                 c = r["config"]
                 m, n, k, t = r["m"], r["n"], r["k"], r["time_s"]
-                # Recover the grouped work multiplier E from the stored
-                # tflops (= 2*m*n*k*E / t / 1e12).
-                scale = 1.0
-                if r.get("tflops"):
-                    scale = max(
-                        1.0, round(r["tflops"] * t * 1e12 / (2.0 * m * n * k)))
+                scale = recmod.flops_scale(r)  # grouped work multiplier E
                 recs.setdefault(op, []).append(
                     (m, n, k, c["block_m"], c["block_n"], c["block_k"],
                      t, scale))

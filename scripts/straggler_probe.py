@@ -21,13 +21,19 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PEAK = 197e12
-HBM = 819e9
+def _envelope():
+    """(peak fp8/bf16 FLOPs, HBM B/s) from the platform table — single
+    source of truth (tiling/platform.py), not copied constants."""
+    import jax.numpy as jnp
+    from deepgemm_ascend_tpu.tiling import platform as plat
+    info = plat.detect()
+    return info.peak_flops(jnp.bfloat16), info.hbm_gbps * 1e9
 
 
 def light_speed(m, n, k, a_i, o_i, extra_bytes=0.0):
-    comp = 2.0 * m * n * k / PEAK
-    mem = (m * k * a_i + k * n * a_i + m * n * o_i + extra_bytes) / HBM
+    peak, hbm = _envelope()
+    comp = 2.0 * m * n * k / peak
+    mem = (m * k * a_i + k * n * a_i + m * n * o_i + extra_bytes) / hbm
     return max(comp, mem)
 
 

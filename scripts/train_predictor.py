@@ -21,7 +21,9 @@ OP_ALIASES = {"grouped_masked": "grouped_gemm_masked"}
 
 
 def _is_fp8_op(op):
-    return op != "gemm"   # every non-bf16 op in the suite is fp8 e4m3
+    # bf16 dense ops: "gemm" and its storage layouts; everything else in
+    # the suite (fp8_gemm*, grouped_*) is fp8 e4m3.
+    return not op.startswith("gemm")
 
 
 def _load_grouped(paths, op_filter=None):

@@ -313,6 +313,22 @@ def test_autotune_max_candidates_prunes(tmp_path):
     assert len(calls) == 3
 
 
+def test_autotune_resume_is_config_keyed_not_index_keyed(tmp_path):
+    # The candidate ordering is an estimate_time sort that changes when
+    # the calibrated cost model is refit — resume must match records by
+    # CONFIG, so a reordered (or extended) candidate list reuses every
+    # prior measurement and only sweeps genuinely new configs.
+    A, B, C = (GemmConfig(128, 128, 128), GemmConfig(256, 256, 256),
+               GemmConfig(64, 128, 128))
+    tuner, calls = _mk_tuner(tmp_path, {(256, 256, 256): 0.1})
+    tuner.sweep_shape(512, 512, 512, [A, B])
+    assert calls == [A, B]
+    tuner2, calls2 = _mk_tuner(tmp_path, {(64, 128, 128): 0.05})
+    win = tuner2.sweep_shape(512, 512, 512, [B, A, C])  # reordered + new
+    assert calls2 == [C]            # A and B reused from the jsonl
+    assert win == C
+
+
 def test_autotune_explore_extra_samples_off_prefix(tmp_path):
     # explore_extra appends a stratified sample of the off-prefix tail
     # AFTER the analytic prefix (so resumed record indices stay aligned).
