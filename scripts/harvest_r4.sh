@@ -15,7 +15,7 @@ $PY scripts/publish_tilings.py 'autotune_results*/*_r0.jsonl' \
     --device tpu_v5e
 
 echo "=== [2/4] retrain per-op predictors (holdout report) ==="
-for op in fp8_gemm_nt grouped_gemm grouped_gemm_masked; do
+for op in gemm fp8_gemm_nt grouped_gemm grouped_gemm_masked; do
   $PY scripts/train_predictor.py 'autotune_results*/*_r0.jsonl' \
       --op "$op" --holdout 0.25 \
       --out "deepgemm_ascend_tpu/data/predictor_${op}.npz" \
