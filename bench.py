@@ -14,6 +14,8 @@ exactly one line.
 """
 
 import json
+import os
+import signal
 import sys
 
 
@@ -21,7 +23,24 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _watchdog(seconds: int = 1500) -> None:
+    """Emit the one JSON line and exit instead of hanging forever if the
+    TPU tunnel is down (backend init/compute blocks indefinitely there —
+    a structured failure beats a silent stall for the driver)."""
+
+    def fire(signum, frame):
+        print(json.dumps({"metric": "fp8_gemm_4096_tflops", "value": 0.0,
+                          "unit": "TFLOP/s", "vs_baseline": 0.0,
+                          "error": f"watchdog: no result in {seconds}s "
+                                   f"(TPU tunnel down?)"}), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+
+
 def main() -> int:
+    _watchdog()
     import jax
     import jax.numpy as jnp
     import numpy as np
