@@ -47,6 +47,14 @@ def _load_grouped(paths, op_filter=None):
                 if not recmod.plausible(r, info):
                     continue  # failed or corrupt-timing record
                 c = r["config"]
+                if c.get("k_split", 1) > 1 or c.get("pad_k"):
+                    # Non-representable in the (bm, bn, bk) feature schema:
+                    # a KSPLIT/pad_k record shares its features with the
+                    # plain-COMMON record for the same blocks but carries a
+                    # different time — contradictory labels that inflate
+                    # predictor variance (observed: 9 contradictory block
+                    # triples across the bf16 gemm sweeps).
+                    continue
                 op = OP_ALIASES.get(r.get("op", "gemm"), r.get("op", "gemm"))
                 if op_filter and op != op_filter:
                     continue
@@ -80,13 +88,30 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
             idx = p._select(pred, tiles)
             oracle = float(times.min())
             pick = float(times[idx])
-            itemsize = 1 if _is_fp8_op(op) else 2
-            nat = analytic.get_best_config(m, n, k, itemsize, itemsize,
-                                           2 if _is_fp8_op(op) else 4)
+            import jax.numpy as jnp
+            fp8 = _is_fp8_op(op)
+            a_i, o_i = (1, 2) if fp8 else (2, 4)
+            in_dt = jnp.float8_e4m3fn if fp8 else jnp.bfloat16
+            nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
             nat_key = (nat.block_m, nat.block_n, nat.block_k)
             nat_times = [t for bm, bn, bk, t in recs
                          if (bm, bn, bk) == nat_key]
             nat_t = min(nat_times) if nat_times else None
+            # Mirror the deployed roofline guardrail: a pick the analytic
+            # traffic model rates >= guard_factor x the analytic config is
+            # DECLINED at runtime (tiling/predictor.py) and the selector
+            # serves the analytic config instead — score that outcome, not
+            # the raw (never-deployed) ranking.
+            est_pick = analytic.estimate_time(
+                m, n, k, *(int(v) for v in tiles[idx]), a_i, a_i, o_i,
+                info, in_dt, op=op).time_s
+            est_nat = analytic.estimate_time(
+                m, n, k, nat.block_m, nat.block_n, nat.block_k, a_i, a_i,
+                o_i, info, in_dt, op=op).time_s
+            if est_pick > p.guard_factor * est_nat:
+                if nat_t is None:
+                    continue  # deployed = analytic, but it was never swept
+                pick = nat_t
             rows.append((pick / oracle, None if nat_t is None
                          else pick <= nat_t * 1.001))
         slowdowns = [r[0] for r in rows]
