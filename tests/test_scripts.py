@@ -101,3 +101,26 @@ def test_serve_bench_mixed_smoke(tmp_path):
     assert rec["metric"] == "mixed_prefill_decode_tokens_per_s"
     assert rec["prefills"] == 4          # 2x slots requests all served
     assert rec["prefill_dispatches"] <= rec["prefills"]
+
+
+def test_publish_tilings_screens_implausible_records(tmp_path):
+    # A record claiming a time below the shape's roofline light-speed
+    # (corrupted relay timing) must never win the packaged table, even
+    # when it is the fastest "time" in the jsonl.
+    import json
+    good = {"m": 4096, "n": 4096, "k": 4096, "op": "fp8_gemm",
+            "config": {"block_m": 512, "block_n": 512, "block_k": 1024,
+                       "kernel_type": 1, "k_split": 1, "swizzle": 0,
+                       "vmem_limit_bytes": 0, "pad_k": False},
+            "time_s": 780e-6, "tflops": 176.2, "correct": True, "idx": 0}
+    bad = dict(good, config=dict(good["config"], block_m=64),
+               time_s=1e-9, tflops=2.1e6, idx=1)
+    src = tmp_path / "fp8_gemm_4096x4096x4096_r0.jsonl"
+    src.write_text(json.dumps(good) + "\n" + json.dumps(bad) + "\n")
+    out = tmp_path / "tilings.jsonl"
+    r = run("publish_tilings.py", str(src), "--device", "tpu_v5e",
+            "--out", str(out), cwd=ROOT)
+    assert r.returncode == 0, r.stderr
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(rows) == 1
+    assert rows[0]["config"]["block_m"] == 512  # the plausible winner
