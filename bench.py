@@ -11,36 +11,91 @@ readback-safe scan-chain method (deepgemm_ascend_tpu/bench/timing.py);
 correctness is gated first against the emulated-dequant golden with the
 reference's outlier-ratio acceptance. Diagnostics go to stderr; stdout gets
 exactly one line.
+
+Transport-flap hardening (VERDICT r3 item 8): a dead backend produces the
+structured failure line within ~4 minutes (short probe watchdog) instead of
+hanging; a flap AFTER the correctness gate degrades to the best timing
+measured so far (partial-but-real number, rc 0 with a "note") instead of
+0.0; each timing call gets one bounded retry with a backend re-init.
 """
 
 import json
 import os
-import signal
 import sys
+import threading
+
+METRIC = "fp8_gemm_4096_tflops"
+PROBE_TIMEOUT_S = 240      # backend init + tiny probe must finish in this
+TOTAL_BUDGET_S = 1500      # hard wall for the whole bench
+# Mutated as the run progresses; the watchdog emits whatever is here.
+STATE = {"value": 0.0, "vs_baseline": 0.0, "gate_ok": False, "configs": 0}
+_WATCHDOG = {"timer": None}
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _watchdog(seconds: int = 1500) -> None:
+def _emit(error: str | None = None, note: str | None = None) -> None:
+    line = {"metric": METRIC, "value": round(STATE["value"], 2),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(STATE["vs_baseline"], 4)}
+    if error:
+        line["error"] = error
+    if note:
+        line["note"] = note
+    print(json.dumps(line), flush=True)
+
+
+def _watchdog(seconds: int) -> None:
     """Emit the one JSON line and exit instead of hanging forever if the
     TPU tunnel is down (backend init/compute blocks indefinitely there —
-    a structured failure beats a silent stall for the driver)."""
+    a structured failure beats a silent stall for the driver). If the
+    correctness gate already passed and ≥1 config was timed, the partial
+    result is REAL — report it with rc 0 and a note.
 
-    def fire(signum, frame):
-        print(json.dumps({"metric": "fp8_gemm_4096_tflops", "value": 0.0,
-                          "unit": "TFLOP/s", "vs_baseline": 0.0,
-                          "error": f"watchdog: no result in {seconds}s "
-                                   f"(TPU tunnel down?)"}), flush=True)
+    Runs on a daemon THREAD, not SIGALRM: a dead-tunnel RPC blocks the
+    main thread inside a C call that never returns to the interpreter, so
+    a Python-level signal handler starves forever (measured: an alarm(240)
+    never fired in 6+ minutes against the downed tunnel); a timer thread
+    fires regardless because the blocked RPC releases the GIL."""
+
+    def fire():
+        if STATE["gate_ok"] and STATE["value"] > 0:
+            _emit(note=f"partial: watchdog fired after "
+                       f"{STATE['configs']} configs (transport flap?)")
+            os._exit(0)
+        _emit(error=f"watchdog: no result in {seconds}s (TPU tunnel down?)")
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, fire)
-    signal.alarm(seconds)
+    if _WATCHDOG["timer"] is not None:
+        _WATCHDOG["timer"].cancel()
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    _WATCHDOG["timer"] = t
+
+
+def _reinit_backend() -> None:
+    """Best-effort backend re-init between retry attempts."""
+    import jax
+    clears = []
+    try:
+        clears.append(jax.extend.backend.clear_backends)
+    except AttributeError:
+        pass
+    if getattr(jax, "clear_backends", None):
+        clears.append(jax.clear_backends)
+    for clear in clears:
+        try:
+            clear()
+            return
+        except Exception as e:  # pragma: no cover - version-dependent
+            log(f"[bench] backend clear failed: {e}")
 
 
 def main() -> int:
-    _watchdog()
+    _watchdog(PROBE_TIMEOUT_S)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,6 +103,14 @@ def main() -> int:
     from deepgemm_ascend_tpu.config import GemmConfig
     from deepgemm_ascend_tpu.bench import timing
     from deepgemm_ascend_tpu.jit import compile_cache
+
+    # Tiny probe with a forced readback: if the tunnel is down this hangs
+    # and the short watchdog produces the structured failure in <5 min.
+    probe = float(np.asarray(jnp.sum(jnp.ones((8, 128), jnp.float32))))
+    log(f"[bench] probe ok ({probe:.0f}); extending watchdog to "
+        f"{TOTAL_BUDGET_S}s")
+    _watchdog(TOTAL_BUDGET_S - PROBE_TIMEOUT_S
+              if TOTAL_BUDGET_S > PROBE_TIMEOUT_S else TOTAL_BUDGET_S)
 
     try:  # kernels persist across runs (≙ the reference's on-disk fatbins)
         compile_cache.enable_persistent_cache()
@@ -81,38 +144,52 @@ def main() -> int:
                         rtol=1e-2, atol=1e-2, max_ratio=1e-4)
     log(f"[bench] correctness: ok={res.ok} ratio={res.mismatch_ratio:.2e}")
     if not res.ok:
-        print(json.dumps({"metric": "fp8_gemm_4096_tflops", "value": 0.0,
-                          "unit": "TFLOP/s", "vs_baseline": 0.0,
-                          "error": "correctness gate failed"}))
+        _emit(error="correctness gate failed")
         return 1
+    STATE["gate_ok"] = True
 
     flops = 2 * M * N * K
+    peak = info.peak_bf16_tflops
     # Winners of the on-chip autotune sweeps (autotune_results_r2*/);
     # block_k = K lands on the static-scale-slice kernel. iters=256 keeps
     # the ~30 ms RPC floor under 15% of the measured chain (at iters=32 the
     # floor noise dominated and inflated results by up to +30%).
     candidates = [GemmConfig(1024, 256, 4096), GemmConfig(512, 512, 4096),
                   GemmConfig(256, 1024, 4096), GemmConfig(512, 1024, 2048)]
-    best_tf = 0.0
+    flap = None
     for cfg in candidates:
-        try:
-            fn = lambda aq, asc, bq, bs, c=cfg: fp8mod.fp8_gemm_with_config(
-                aq, asc, bq, bs, config=c)
-            t = timing.time_gemm_like(fn, a_q, a_s, b_q, bse, iters=256)
-            tf = t.tflops(flops)
-            log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
-                f"{t.seconds*1e3:.3f} ms = {tf:.1f} TF/s")
-            best_tf = max(best_tf, tf)
-        except Exception as e:  # config failed to compile — skip
-            log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
-                f"FAILED {str(e)[:100]}")
-    peak = info.peak_bf16_tflops
-    print(json.dumps({
-        "metric": "fp8_gemm_4096_tflops",
-        "value": round(best_tf, 2),
-        "unit": "TFLOP/s",
-        "vs_baseline": round(best_tf / peak, 4),
-    }))
+        fn = lambda aq, asc, bq, bs, c=cfg: fp8mod.fp8_gemm_with_config(
+            aq, asc, bq, bs, config=c)
+        for attempt in (1, 2):
+            try:
+                t = timing.time_gemm_like(fn, a_q, a_s, b_q, bse, iters=256)
+                tf = t.tflops(flops)
+                log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
+                    f"{t.seconds*1e3:.3f} ms = {tf:.1f} TF/s")
+                if tf > STATE["value"]:
+                    STATE["value"] = tf
+                    STATE["vs_baseline"] = tf / peak
+                STATE["configs"] += 1
+                flap = None
+                break
+            except Exception as e:
+                log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
+                    f"attempt {attempt} FAILED {str(e)[:120]}")
+                flap = e
+                if attempt == 1:
+                    _reinit_backend()
+        if flap is not None and "UNAVAILABLE" in str(flap):
+            log("[bench] transport looks dead after retry — stopping early "
+                "with partial results")
+            break
+    note = None
+    if flap is not None and STATE["value"] > 0:
+        note = (f"partial: {STATE['configs']}/{len(candidates)} configs "
+                f"timed before transport failure")
+    if STATE["value"] <= 0:
+        _emit(error=f"all configs failed: {str(flap)[:120]}")
+        return 1
+    _emit(note=note)
     return 0
 
 

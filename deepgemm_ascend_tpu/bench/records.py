@@ -62,14 +62,17 @@ def light_speed_floor_s(op: str, m: int, n: int, k: int,
     """A PHYSICAL lower bound on the runtime of one sweep record.
 
     Dense: ``scale`` = 1 → the plain max(compute, memory) roofline.
-    Grouped: ``scale`` multiplies the per-(m,n,k) work, but it counts
-    m-TILES for uneven contiguous layouts (autotune_sweep records
-    m = layout block_m with flops_scale = n_tiles), which can exceed the
-    expert count — and only experts carry distinct B panels. A valid
-    bound for ANY expert count e ≥ 1 therefore scales compute and the
-    A/out traffic by ``scale`` but counts the B panel ONCE. Slightly
-    loose for masked grouped (where B truly scales with E); a loose
-    floor only admits borderline records, it never quarantines real ones.
+    Grouped CONTIGUOUS: ``scale`` multiplies the per-(m,n,k) work, but it
+    counts m-TILES for uneven layouts (autotune_sweep records m = layout
+    block_m with flops_scale = n_tiles), which can exceed the expert
+    count — and only experts carry distinct B panels. A valid bound for
+    ANY expert count e ≥ 1 therefore scales compute and the A/out traffic
+    by ``scale`` but counts the B panel ONCE. Grouped MASKED: the sweep
+    records per-expert (m, n, k) with E-scaled tflops, so ``scale`` = E
+    exactly and the kernel streams E DISTINCT B panels — count the B
+    panel E times too (the m-tiles ambiguity is contiguous-only; a
+    once-counted B would leave the screen ~E× looser than physical on
+    small-m B-dominated masked decode shapes).
     """
     import jax.numpy as jnp
     info = info or _plat.detect()
@@ -79,7 +82,9 @@ def light_speed_floor_s(op: str, m: int, n: int, k: int,
     isz = jnp.dtype(in_dtype).itemsize
     osz = jnp.dtype(out_dtype).itemsize
     comp = rl.compute_bound_s * scale
-    bytes_lb = scale * (m * k * isz + m * n * osz) + k * n * isz
+    b_panels = scale if "masked" in op else 1.0
+    bytes_lb = (scale * (m * k * isz + m * n * osz)
+                + b_panels * k * n * isz)
     return max(comp, bytes_lb / (info.hbm_gbps * 1e9))
 
 

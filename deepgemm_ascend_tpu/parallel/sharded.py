@@ -139,11 +139,17 @@ def _topp_threshold_sharded(x, p: float, axis_name: str):
     is monotone in t, so the cutoff is found by threshold search: each
     round evaluates B at a 16-point grid inside the current bracket with
     ONE psum of (b, 16) floats, narrowing the bracket 16× (VERDICT r2 item
-    7's bounded-iteration scheme — 6 rounds ≈ 2⁻²⁴ of the logit range,
-    collective bytes per step ≈ KBs vs the 8.4 MB logits gather). The
-    bracket invariant keeps B(lo) ≥ p, so the kept set {x > lo} always has
-    mass ≥ p and equals the reference set unless a logit lands inside the
-    final 2⁻²⁴-wide bracket.
+    7's bounded-iteration scheme; collective bytes per step ≈ KBs vs the
+    8.4 MB logits gather). The bracket invariant keeps B(lo) ≥ p, so the
+    kept set {x > lo} always has mass ≥ p and equals the reference set
+    unless a logit lands inside the final bracket. The initial bracket is
+    [max(mn−1, mx−33), mx]: every logit below mx−33 carries < e⁻³³ of the
+    max token's mass, so even a 4M-token vocab contributes < 1e-7 mass
+    there and B(mx−33) ≥ p holds for any p ≤ 1−1e-6. That caps the final
+    bracket at 34·16⁻⁶ ≈ 2e-6 ABSOLUTE scaled-logit units — independent
+    of outlier logits or low temperatures stretching the full range
+    (advisor r3: a range-relative 2⁻²⁴ bound silently widened with the
+    bracket).
     """
     neg = jnp.float32(-3.4e38)
     finite = x > neg / 2
@@ -171,10 +177,17 @@ def _topp_threshold_sharded(x, p: float, axis_name: str):
         return z_local[:, None] - cum_pad[rows, idx]
 
     lo = mn - 1.0   # B(lo) = 1 ≥ p
+    if p <= 1.0 - 1e-6:
+        # Tight absolute bracket: mass below mx−33 is < 1e-7 < 1−p, so
+        # B(mx−33) ≥ p and the invariant holds. p is a static Python
+        # float, so this specializes at trace time.
+        lo = jnp.maximum(lo, mx - 33.0)
     hi = mx         # B(hi) = 0 < p
     f = (jnp.arange(1, _TOPP_GRID + 1, dtype=jnp.float32)
          / (_TOPP_GRID + 1))
-    for _ in range(_TOPP_ROUNDS):
+
+    def round_fn(_, carry):
+        lo, hi = carry
         ts = lo[:, None] + (hi - lo)[:, None] * f[None, :]      # (b, G)
         mass = jax.lax.psum(above_local(ts), axis_name) / z[:, None]
         ok = mass >= p                                          # monotone ↓
@@ -183,8 +196,12 @@ def _topp_threshold_sharded(x, p: float, axis_name: str):
         idx = jnp.sum(ok.astype(jnp.int32), axis=1)             # (b,)
         ts_pad = jnp.concatenate([lo[:, None], ts, hi[:, None]], axis=1)
         rows = jnp.arange(x.shape[0])
-        lo = ts_pad[rows, idx]
-        hi = ts_pad[rows, idx + 1]
+        return ts_pad[rows, idx], ts_pad[rows, idx + 1]
+
+    # fori_loop, not a Python loop: the rounds are data-dependent chained
+    # psums with zero unrolling benefit, and rolling them keeps the HLO
+    # (and shard_map compile time) 6× smaller.
+    lo, hi = jax.lax.fori_loop(0, _TOPP_ROUNDS, round_fn, (lo, hi))
     return lo
 
 

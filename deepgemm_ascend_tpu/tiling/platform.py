@@ -87,7 +87,6 @@ _KNOWN = {
 }
 
 
-@functools.cache
 def detect() -> PlatformInfo:
     """Detect the local accelerator; fall back to v5e-like defaults.
 
@@ -95,8 +94,15 @@ def detect() -> PlatformInfo:
     offline tooling (harvest, reports, cost-model fits) can then run with
     the target device's envelope without touching the accelerator — ≙ the
     reference tuners' SOC_VERSION override (`framework/CMakeLists.txt:7`).
+    The env var is re-read on every call (only the underlying backend
+    query is cached), so setting ``DGA_DEVICE`` after a first detection
+    still takes effect — no import-order dependency.
     """
-    env = os.environ.get("DGA_DEVICE")
+    return _detect(os.environ.get("DGA_DEVICE"))
+
+
+@functools.cache
+def _detect(env) -> PlatformInfo:
     if env:
         kind = env.lower()
     else:
@@ -110,3 +116,6 @@ def detect() -> PlatformInfo:
     if "tpu" in kind:
         return _KNOWN["v5e"]
     return _KNOWN["cpu"]
+
+
+detect.cache_clear = _detect.cache_clear  # back-compat for test overrides

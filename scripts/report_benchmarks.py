@@ -49,8 +49,7 @@ def main(argv=None) -> int:
                  "grouped_gemm_masked_nt": ("float8_e4m3fn", "bfloat16")}
 
     best = {}
-    analytic_pick = {}   # idx 0 = the analytic tier's choice (sweep order
-                         # is the analytically-best prefix)
+    by_key = defaultdict(list)   # key -> all plausible records
     counts = defaultdict(int)
     for pattern in args.files:
         for path in sorted(glob.glob(pattern)):
@@ -68,11 +67,35 @@ def main(argv=None) -> int:
                     key = (r.get("op", "gemm"), r["m"], r["n"], r["k"])
                     counts[key] += 1
                     ok = recmod.plausible(r, info)  # screens corrupt timing
-                    if r.get("idx") == 0 and ok:
-                        analytic_pick[key] = r
+                    if ok:
+                        by_key[key].append(r)
                     if ok and (key not in best
                                or r["time_s"] < best[key]["time_s"]):
                         best[key] = r
+
+    # The analytic tier's choice, RECOMPUTED with the current (calibrated)
+    # cost model and matched against the swept records by config — the
+    # historical idx field goes stale under config-keyed resume and
+    # cost-model refits that reorder the candidate sort (advisor r3).
+    import jax.numpy as jnp
+    from deepgemm_ascend_tpu.tiling import analytic
+    analytic_pick = {}
+    for key, recs in by_key.items():
+        op, m, n, k = key
+        in_dt, out_dt = op_dtypes.get(op, ("bfloat16", "float32"))
+        a_i = jnp.dtype(in_dt).itemsize
+        o_i = jnp.dtype(out_dt).itemsize
+        try:
+            nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
+        except Exception:
+            continue
+        matches = [r for r in recs
+                   if (r["config"]["block_m"], r["config"]["block_n"],
+                       r["config"]["block_k"],
+                       r["config"].get("k_split", 1))
+                   == (nat.block_m, nat.block_n, nat.block_k, nat.k_split)]
+        if matches:
+            analytic_pick[key] = min(matches, key=lambda r: r["time_s"])
 
     lines = [
         f"# Benchmarks — {device}",

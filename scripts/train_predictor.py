@@ -69,16 +69,32 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
     """Rank swept candidates per shape with the MLP; compare the pick's
     MEASURED time against the measured best (oracle) and the analytic
     pick's measured time. ≙ the greedy-vs-predictor comparison VERDICT r1
-    asked for — scored on real on-chip measurements, not predicted times."""
+    asked for — scored on real on-chip measurements, not predicted times.
+
+    Simulates the FULL deployed decline policy (tiling/predictor.py
+    ``predict``) at its BASE margin, not just the roofline guardrail
+    (advisor r3 medium): (1) fewer legal analytic candidates than the
+    per-op ``min_candidates`` floor → decline; (2) predicted pick not at
+    least ``margin`` faster than the analytic config's predicted time →
+    decline; (3) analytic traffic model rates the pick ≥ guard_factor×
+    the analytic config → decline. A declined shape is scored at the
+    analytic config's MEASURED time (the deployed outcome). The embedded
+    holdout meta therefore describes base-policy behaviour; the runtime's
+    evidence-based margin widening derived from it is strictly MORE
+    conservative, never less.
+    """
     import numpy as np
     from deepgemm_ascend_tpu.tiling import analytic, platform as plat
-    from deepgemm_ascend_tpu.tiling.predictor import (TilingPredictor,
+    from deepgemm_ascend_tpu.tiling.predictor import (_OP_DEFAULTS,
+                                                      MIN_CANDIDATES,
+                                                      TilingPredictor,
                                                       _features)
     info = plat.detect()
     out = {}
     for strat in strategies:
         p = TilingPredictor(weights, strategy=strat, min_candidates=1)
         rows = []
+        declines = 0
         for (op, m, n, k), recs in groups.items():
             if len(recs) < 4:
                 continue
@@ -97,18 +113,38 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
             nat_times = [t for bm, bn, bk, t in recs
                          if (bm, bn, bk) == nat_key]
             nat_t = min(nat_times) if nat_times else None
-            # Mirror the deployed roofline guardrail: a pick the analytic
-            # traffic model rates >= guard_factor x the analytic config is
-            # DECLINED at runtime (tiling/predictor.py) and the selector
-            # serves the analytic config instead — score that outcome, not
-            # the raw (never-deployed) ranking.
-            est_pick = analytic.estimate_time(
-                m, n, k, *(int(v) for v in tiles[idx]), a_i, a_i, o_i,
-                info, in_dt, op=op).time_s
-            est_nat = analytic.estimate_time(
-                m, n, k, nat.block_m, nat.block_n, nat.block_k, a_i, a_i,
-                o_i, info, in_dt, op=op).time_s
-            if est_pick > p.guard_factor * est_nat:
+            declined = False
+            # (1) min-candidates floor over the LEGAL analytic pool (what
+            # the runtime counts), per-op like enable_default_predictor.
+            min_c = _OP_DEFAULTS.get(op, {}).get(
+                "min_candidates", MIN_CANDIDATES)
+            pool = analytic.enumerate_candidates(m, n, k, a_i, a_i, o_i,
+                                                 info)
+            if op == "grouped_gemm":
+                pool = {(m, bn, bk) for _, bn, bk in pool
+                        if analytic.judge_space(m, bn, bk, a_i, a_i, o_i,
+                                                info)}
+            if len(pool) < min_c:
+                declined = True
+            # (2) predicted-time margin vs the analytic config (base
+            # NATIVE_MARGIN — evidence widening comes FROM this report).
+            if not declined:
+                nat_pred = float(np.exp(p.predict_batch(
+                    _features(m, n, k, np.asarray([nat_key], np.int64)))[0]))
+                if float(pred[idx]) > (1.0 - p.margin) * nat_pred:
+                    declined = True
+            # (3) roofline guardrail.
+            if not declined:
+                est_pick = analytic.estimate_time(
+                    m, n, k, *(int(v) for v in tiles[idx]), a_i, a_i, o_i,
+                    info, in_dt, op=op).time_s
+                est_nat = analytic.estimate_time(
+                    m, n, k, nat.block_m, nat.block_n, nat.block_k, a_i,
+                    a_i, o_i, info, in_dt, op=op).time_s
+                if est_pick > p.guard_factor * est_nat:
+                    declined = True
+            if declined:
+                declines += 1
                 if nat_t is None:
                     continue  # deployed = analytic, but it was never swept
                 pick = nat_t
@@ -122,6 +158,7 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
             "p90_slowdown_vs_oracle": float(np.percentile(slowdowns, 90)) if rows else None,
             "winrate_vs_analytic": (sum(vs_nat) / len(vs_nat)) if vs_nat else None,
             "analytic_coverage": len(vs_nat),
+            "declined": declines,
         }
     return out
 
@@ -206,6 +243,8 @@ def main(argv=None) -> int:
         "holdout_shapes": rm["shapes"],
         "holdout_pick_oracle": rm["mean_slowdown_vs_oracle"],
         "holdout_winrate": rm["winrate_vs_analytic"],
+        "holdout_declined": rm["declined"],
+        "holdout_policy": "base-margin+min-candidates+guard",
     }
     w.save(args.out, meta=meta)
     print(f"[DGA-TPU] trained on {len(feats)} records "
