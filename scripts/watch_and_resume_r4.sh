@@ -32,7 +32,9 @@ echo "$(date -u +%H:%M:%S) r4 done; r4b queue" >> $STATE
 bash scripts/sweep_queue_r4b.sh >> autotune_results_r4b_queue.log 2>&1
 echo "$(date -u +%H:%M:%S) r4b done; r4c queue" >> $STATE
 bash scripts/sweep_queue_r4c.sh >> autotune_results_r4c_queue.log 2>&1
-echo "$(date -u +%H:%M:%S) r4c done; harvest" >> $STATE
+echo "$(date -u +%H:%M:%S) r4c done; r4d queue" >> $STATE
+bash scripts/sweep_queue_r4d.sh >> autotune_results_r4d_queue.log 2>&1
+echo "$(date -u +%H:%M:%S) r4d done; harvest" >> $STATE
 bash scripts/harvest_r4.sh > harvest_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) all done" >> $STATE
 touch watch_r4.done

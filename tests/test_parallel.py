@@ -145,7 +145,9 @@ def test_tp_kv_sharded_flash_decode_matches_and_traces(setup):
     assert np.isfinite(np.asarray(logits2)).all()
 
 
-@pytest.mark.parametrize("dp,ep,tp", [(2, 4, 1), (2, 2, 2)])
+@pytest.mark.parametrize(
+    "dp,ep,tp",
+    [pytest.param(2, 4, 1, marks=pytest.mark.slow), (2, 2, 2)])
 def test_mesh_prefill_matches_single_host(setup, dp, ep, tp):
     """VERDICT r1 #3: mesh admission must be a one-dispatch bucketed prefill
     (flash-prefill kernel per shard, trace-counted), with caches equal to
@@ -325,3 +327,39 @@ def test_sampled_step_topp_membership(setup):
                          lens, jax.random.PRNGKey(seed))
         for row in range(b):
             assert int(np.asarray(nxt)[row]) in nucleus[row], (seed, row)
+
+
+def test_topp_threshold_outlier_logit_keeps_absolute_resolution():
+    """Advisor r3: one extreme-but-finite logit (e.g. a masked-out token at
+    -1e30) used to stretch the threshold-search bracket so wide that the
+    final cutoff resolution was ~1e30/16⁶ ≈ 6e22 — the cutoff collapsed to
+    garbage and the kept set admitted the whole non-outlier vocab. The
+    absolute bracket [max(mn−1, mx−33), mx] keeps ~2e-6 resolution
+    regardless of outliers; the kept set must equal the gathered
+    reference's nucleus exactly."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from deepgemm_ascend_tpu.parallel import sharded as sh
+    devs = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devs, ("model",))
+    b, v = 3, 64 * 8
+    rng = np.random.default_rng(1)
+    raw = rng.normal(size=(b, v)) * 3.0
+    raw[:, 17] = -1e30      # finite outlier, one per row (same shard)
+    logits = jnp.asarray(raw, jnp.float32)
+    p = 0.9
+    f = sh.shard_map(
+        lambda xl: sh._topp_threshold_sharded(xl, p, "model")[:, None],
+        mesh, in_specs=(P(None, "model"),), out_specs=P(None, "model"))
+    cuts = np.asarray(f(logits))
+    assert np.all(cuts == cuts[:, :1])
+    kept = np.asarray(logits) > cuts[:, :1]
+
+    ls = np.sort(np.asarray(logits, np.float64), axis=1)[:, ::-1]
+    probs = np.exp(ls - ls[:, :1])
+    probs /= probs.sum(axis=1, keepdims=True)
+    cum = np.cumsum(probs, axis=1)
+    keep_sorted = (cum - probs) < p
+    keep_sorted[:, 0] = True
+    cutoff = np.where(keep_sorted, ls, np.inf).min(axis=1, keepdims=True)
+    kept_ref = np.asarray(logits, np.float64) >= cutoff
+    np.testing.assert_array_equal(kept, kept_ref)

@@ -90,6 +90,9 @@ def test_heavy_tail_flag(tmp_path):
     assert (a < 0).any()  # heavy-tail has signs; uniform [1,10) does not
 
 
+@pytest.mark.slow  # subprocess + full engine compile (~30 s on this 1-CPU
+# rig); the mixed mode's dispatch-count property is also asserted by
+# test_serving.test_batched_admission_* — run via `pytest -m slow`.
 def test_serve_bench_mixed_smoke(tmp_path):
     """Smoke the batched-admission mixed prefill+decode bench mode on CPU:
     valid JSON line, O(buckets) prefill dispatches for 2x-slots requests."""

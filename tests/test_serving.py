@@ -141,6 +141,9 @@ def test_engine_chunked_decode_matches_single_step(model):
     assert out1 == out4
 
 
+@pytest.mark.slow  # mesh-engine parity is covered by the cheaper
+# test_batched_admission_mesh_matches_single_host + mesh-prefill tests;
+# this full-generate + chunked-mesh variant runs via `pytest -m slow`.
 def test_engine_mesh_mode_generates(model):
     """Mesh-mode engine (dp/ep virtual mesh): scan-prefill + sharded decode
     end-to-end; greedy outputs must match the single-device engine, and

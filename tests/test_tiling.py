@@ -423,3 +423,37 @@ def test_estimate_time_uses_op_calibration():
         4096, 4096, 4096, 512, 512, 1024, 1, 1, 2, v5e, jnp.float8_e4m3fn,
         op="fp8_gemm")
     assert calibrated.time_s != nominal.time_s
+
+
+def test_masked_grouped_floor_counts_expert_b_panels():
+    """Advisor r3: the masked grouped kernel streams E DISTINCT B panels,
+    so the physical floor must scale the B traffic by E (the m-tiles
+    ambiguity that forces counting B once is contiguous-layout-only).
+    Without it the corrupted-timing screen was ~E× too loose on
+    B-dominated masked decode shapes."""
+    from deepgemm_ascend_tpu.bench import records as recmod
+    info = platform._KNOWN["v5e"]
+    m, n, k, e = 8, 2048, 512, 8          # B-dominated decode geometry
+    t = 5e-6                               # between the two floors
+    tf = 2 * m * n * k * e / t / 1e12
+    base = {"m": m, "n": n, "k": k, "time_s": t, "tflops": tf}
+    # Contiguous: scale could be m-tiles of ONE expert → B counted once.
+    assert recmod.plausible(dict(base, op="grouped_gemm"), info)
+    # Masked: E distinct B panels ≈ 8 MB of mandatory traffic → 5 µs is
+    # below the physical floor.
+    assert not recmod.plausible(dict(base, op="grouped_gemm_masked"), info)
+    assert not recmod.plausible(dict(base, op="grouped_gemm_masked_nt"),
+                                info)
+
+
+def test_detect_rereads_dga_device(monkeypatch):
+    """Advisor r3: DGA_DEVICE must take effect even when set AFTER a first
+    detect() call in the same process (the env var is resolved outside the
+    cached backend query)."""
+    monkeypatch.setenv("DGA_DEVICE", "tpu v5p")
+    assert platform.detect().device_kind == "tpu v5p"
+    monkeypatch.setenv("DGA_DEVICE", "tpu v6e")
+    assert platform.detect().device_kind == "tpu v6e"
+    monkeypatch.delenv("DGA_DEVICE")
+    # Falls back to backend detection (CPU under the test harness).
+    assert platform.detect().device_kind == "cpu"
