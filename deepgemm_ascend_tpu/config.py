@@ -67,6 +67,12 @@ class GemmConfig:
     # decided by the padding cost model (tiling/padding.py, ≙ GetPaddingTag
     # `select_kernel.cpp:82-268`). No-op when block_k divides K.
     pad_k: bool = False
+    # Masked grouped GEMM only: experts processed per grid step. >1
+    # coalesces EC experts' blocks into one step (bigger DMAs, EC× fewer
+    # grid steps) — the "per-expert grid fusion" candidate for small
+    # per-expert decode shapes (VERDICT r3 item 4). Ignored by dense and
+    # contiguous kernels; silently treated as 1 when E % EC != 0.
+    expert_coalesce: int = 1
 
     def __post_init__(self):
         if self.block_m <= 0 or self.block_n <= 0 or self.block_k <= 0:
@@ -75,6 +81,8 @@ class GemmConfig:
             raise ValueError(f"k_split must be >= 1: {self}")
         if self.kernel_type != KernelType.KSPLIT and self.k_split != 1:
             raise ValueError(f"k_split > 1 requires KSPLIT kernel: {self}")
+        if self.expert_coalesce < 1:
+            raise ValueError(f"expert_coalesce must be >= 1: {self}")
 
     def replace(self, **kw: Any) -> "GemmConfig":
         return dataclasses.replace(self, **kw)

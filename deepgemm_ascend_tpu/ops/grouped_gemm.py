@@ -275,49 +275,58 @@ def m_grouped_gemm_contiguous(
 
 def _masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
                    nk: int, groups: int, kb_total: int, bm: int, out_dtype,
-                   b_t: bool = False):
-    """Masked grouped GEMM step. Grid (E, nm, nn, nk).
+                   b_t: bool = False, ec: int = 1):
+    """Masked grouped GEMM step. Grid (E/ec, nm, nn, nk).
 
     mask_ref: (E,) int32 scalar-prefetch — valid row count per expert.
-    Blocks carry a leading expert dim of 1. ``b_t``: B stored (E, N, K)
-    (DeepGEMM's native NT masked layout); the dot contracts B's lane dim.
-    Scale panels arrive pre-split by k-block — as_ref (1, 1, bm, groups) of
-    (E, nk, M_max, groups), bs_ref (1, 1, groups, bn) of (E, nk, groups, N)
-    — static in-kernel slices, no one-hot (see ops/fp8_gemm.py
-    ``_fp8_gemm_kernel_blocked``).
+    Blocks carry a leading expert dim of ``ec``. ``b_t``: B stored
+    (E, N, K) (DeepGEMM's native NT masked layout); the dot contracts B's
+    lane dim. Scale panels arrive pre-split by k-block — as_ref
+    (ec, 1, bm, groups) of (E, nk, M_max, groups), bs_ref (ec, 1, groups,
+    bn) of (E, nk, groups, N) — static in-kernel slices, no one-hot (see
+    ops/fp8_gemm.py ``_fp8_gemm_kernel_blocked``).
+
+    ``ec`` > 1 COALESCES ec experts per grid step (per-expert grid fusion,
+    VERDICT r3 item 4): small per-expert decode shapes make per-step
+    blocks tiny — ec× bigger DMAs and ec× fewer grid steps amortize the
+    per-step pipeline latency; each coalesced expert keeps its own
+    activity predicate and fp32 accumulator plane.
     """
-    e = pl.program_id(0)
+    eg = pl.program_id(0)
     i = pl.program_id(1)
     k = pl.program_id(3)
-    active = i * bm < mask_ref[e]
 
-    @pl.when(k == 0)
-    def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    for ecx in range(ec):
+        active = i * bm < mask_ref[eg * ec + ecx]
 
-    @pl.when(active)
-    def _compute():
-        s_a_all = as_ref[0, 0]       # (bm, groups)
-        s_b_all = bs_ref[0, 0]       # (groups, bn)
-        ragged = nk * groups != kb_total
-        for g in range(groups):
-            a_g = a_ref[0, :, g * BLOCK:(g + 1) * BLOCK]
-            b_g = (b_ref[0, :, g * BLOCK:(g + 1) * BLOCK] if b_t
-                   else b_ref[0, g * BLOCK:(g + 1) * BLOCK, :])
-            if ragged:
-                valid = k * groups + g < kb_total
-                a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
-                b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
-            p = jax.lax.dot_general(
-                a_g, b_g, (((1,), (1 if b_t else 0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[:] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
+        @pl.when(k == 0)
+        def _zero(ecx=ecx):
+            acc_ref[ecx] = jnp.zeros_like(acc_ref[ecx])
 
-    @pl.when(k == nk - 1)
-    def _store():
-        # Rows at/after masked_m[e] are unspecified in DeepGEMM; we zero the
-        # whole inactive tile (cheap, deterministic).
-        o_ref[0] = jnp.where(active, acc_ref[:], 0.0).astype(out_dtype)
+        @pl.when(active)
+        def _compute(ecx=ecx):
+            s_a_all = as_ref[ecx, 0]       # (bm, groups)
+            s_b_all = bs_ref[ecx, 0]       # (groups, bn)
+            ragged = nk * groups != kb_total
+            for g in range(groups):
+                a_g = a_ref[ecx, :, g * BLOCK:(g + 1) * BLOCK]
+                b_g = (b_ref[ecx, :, g * BLOCK:(g + 1) * BLOCK] if b_t
+                       else b_ref[ecx, g * BLOCK:(g + 1) * BLOCK, :])
+                if ragged:
+                    valid = k * groups + g < kb_total
+                    a_g = jnp.where(valid, a_g, jnp.zeros_like(a_g))
+                    b_g = jnp.where(valid, b_g, jnp.zeros_like(b_g))
+                p = jax.lax.dot_general(
+                    a_g, b_g, (((1,), (1 if b_t else 0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_ref[ecx] += p * s_a_all[:, g:g + 1] * s_b_all[g:g + 1, :]
+
+        @pl.when(k == nk - 1)
+        def _store(ecx=ecx, active=active):
+            # Rows at/after masked_m[e] are unspecified in DeepGEMM; we
+            # zero the whole inactive tile (cheap, deterministic).
+            o_ref[ecx] = jnp.where(active, acc_ref[ecx],
+                                   0.0).astype(out_dtype)
 
 
 @functools.partial(
@@ -344,25 +353,31 @@ def _grouped_masked_call(
     a_sc4 = jnp.moveaxis(a_sc.reshape(e, m_max, nk, groups), 2, 1)
     bs4 = bs_exp.reshape(e, nk, groups, bs_exp.shape[2])
 
+    # Per-expert grid fusion knob: coalesce ec experts per grid step when
+    # the expert count divides evenly (else fall back to 1 — the knob is a
+    # sweepable candidate, never a correctness requirement).
+    ec = config.expert_coalesce if e % max(config.expert_coalesce, 1) == 0 \
+        else 1
     kernel = functools.partial(
         _masked_kernel, nk=nk, groups=groups, kb_total=kb, bm=bm,
-        out_dtype=out_dtype, b_t=b_t)
-    b_block = (1, bn, bk) if b_t else (1, bk, bn)
+        out_dtype=out_dtype, b_t=b_t, ec=ec)
+    b_block = (ec, bn, bk) if b_t else (ec, bk, bn)
     b_map = ((lambda g, i, j, kk, mm: (g, j, kk)) if b_t
              else (lambda g, i, j, kk, mm: (g, kk, j)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(e, nm, nn, nk),
+        grid=(e // ec, nm, nn, nk),
         in_specs=[
-            pl.BlockSpec((1, bm, bk), lambda g, i, j, kk, mm: (g, i, kk)),
-            pl.BlockSpec((1, 1, bm, groups),
+            pl.BlockSpec((ec, bm, bk), lambda g, i, j, kk, mm: (g, i, kk)),
+            pl.BlockSpec((ec, 1, bm, groups),
                          lambda g, i, j, kk, mm: (g, kk, i, 0)),
             pl.BlockSpec(b_block, b_map),
-            pl.BlockSpec((1, 1, groups, bn),
+            pl.BlockSpec((ec, 1, groups, bn),
                          lambda g, i, j, kk, mm: (g, kk, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, bm, bn), lambda g, i, j, kk, mm: (g, i, j)),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((ec, bm, bn),
+                               lambda g, i, j, kk, mm: (g, i, j)),
+        scratch_shapes=[pltpu.VMEM((ec, bm, bn), jnp.float32)],
     )
     params = {}
     if not interpret:

@@ -207,6 +207,15 @@ class Autotuner:
                         if c not in pruned]
                 step = max(1, len(tail) // explore_extra)
                 pruned += tail[::step][:explore_extra]
+            if self._op.startswith("grouped_gemm_masked"):
+                # Per-expert grid fusion variants of the analytic head
+                # (expert_coalesce — ops/grouped_gemm.py): a bitwise-equal
+                # scheduling knob the traffic roofline cannot rank, so the
+                # sweep must measure it. The kernel silently runs ec=1
+                # when E % ec != 0 (duplicate measurement, never wrong).
+                ecs = [c.replace(expert_coalesce=ec)
+                       for c in pruned[:3] for ec in (2, 4)]
+                pruned += [c for c in ecs if c not in pruned]
             candidates = pruned
 
         done = self._load_done()

@@ -83,6 +83,15 @@ def main(argv=None) -> int:
         print(f"[probe]   {tag:38s} {secs * 1e6:9.2f} us  "
               f"{ls / secs * 100:5.1f}% LS")
 
+    def timed(tag, ls, thunk):
+        """Time one variant; a compile rejection (e.g. Mosaic refusing a
+        candidate block) reports FAILED instead of killing the probe."""
+        try:
+            t = thunk()
+            report(tag, t.seconds, ls)
+        except Exception as exc:      # noqa: BLE001 — probe must survive
+            print(f"[probe]   {tag:38s} FAILED: {str(exc)[:90]}")
+
     if "fp8small" in rows:
         m, n, k = 64, 512, 2048
         print(f"[probe] fp8_gemm {m}x{n}x{k} (swept best 42.4%)")
@@ -101,8 +110,8 @@ def main(argv=None) -> int:
         for tag, cfg in variants.items():
             f = lambda aq, asc, bq, bs, cfg=cfg: fp8mod.fp8_gemm_with_config(
                 aq, asc, bq, bs, config=cfg)
-            t = timing.time_gemm_like(f, a_q, a_s, b_q, bse, **t_kw)
-            report(tag, t.seconds, ls)
+            timed(tag, ls, lambda f=f: timing.time_gemm_like(
+                f, a_q, a_s, b_q, bse, **t_kw))
 
         def xla_fold(aq, asc, bq, bs):
             af = (aq.astype(jnp.float32)
@@ -141,15 +150,23 @@ def main(argv=None) -> int:
                 swizzle=__import__(
                     "deepgemm_ascend_tpu.config",
                     fromlist=["SwizzleDir"]).SwizzleDir.N_MAJOR),
+            # Per-expert grid fusion (VERDICT r3 item 4): ec experts per
+            # grid step — ec× bigger DMAs, ec× fewer steps. Bitwise-equal
+            # scheduling knob (tests/test_grouped_gemm.py).
+            "coalesce ec=2 128x2048x512": GemmConfig(
+                128, 2048, 512, expert_coalesce=2),
+            "coalesce ec=4 128x1024x512": GemmConfig(
+                128, 1024, 512, expert_coalesce=4),
+            "coalesce ec=8 128x512x512": GemmConfig(
+                128, 512, 512, expert_coalesce=8),
         }.items():
             from deepgemm_ascend_tpu.ops.gemm import _interpret_default
             f = (lambda aq, asc, bq, bs, mm=mm, cfg=cfg:
                  gg._grouped_masked_call(mm, aq, asc, bq, bs, config=cfg,
                                          out_dtype=jnp.bfloat16,
                                          interpret=_interpret_default()))
-            t = timing.time_fn(f, (a_q, a_s, b_q, bse), perturb=perturb,
-                               **t_kw)
-            report(tag, t.seconds, ls)
+            timed(tag, ls, lambda f=f: timing.time_fn(
+                f, (a_q, a_s, b_q, bse), perturb=perturb, **t_kw))
 
         def xla_einsum(aq, asc, bq, bs):
             af = (aq.astype(jnp.float32)
@@ -178,9 +195,9 @@ def main(argv=None) -> int:
             best = selector.select_config(m, n, k, jnp.bfloat16,
                                           jnp.float32, op="gemm")
             f = lambda x, y, c=best: gemm_with_config(x, y, config=c)
-            t = timing.time_gemm_like(f, a, b, **t_kw)
-            report(f"selected {best.block_m}x{best.block_n}x{best.block_k}"
-                   f"{' padk' if best.pad_k else ''}", t.seconds, ls)
+            timed(f"selected {best.block_m}x{best.block_n}x{best.block_k}"
+                  f"{' padk' if best.pad_k else ''}", ls,
+                  lambda f=f: timing.time_gemm_like(f, a, b, **t_kw))
 
             k_pad = round_up(k, 128)
             n_pad = round_up(n, 128)
@@ -190,8 +207,9 @@ def main(argv=None) -> int:
                 yp = jnp.pad(y, ((0, k_pad - k), (0, n_pad - n)))
                 return gemm_with_config(xp, yp, config=c)[:, :n]
 
-            t = timing.time_gemm_like(padded, a, b, **t_kw)
-            report("in-graph padded K,N (same cfg)", t.seconds, ls)
+            timed("in-graph padded K,N (same cfg)", ls,
+                  lambda padded=padded: timing.time_gemm_like(
+                      padded, a, b, **t_kw))
 
             def xla_dot(x, y):
                 return jnp.dot(x, y, preferred_element_type=jnp.float32)
@@ -216,8 +234,8 @@ def main(argv=None) -> int:
             "512x512x1024": GemmConfig(512, 512, 1024),
         }.items():
             f = lambda x, y, c=cfg: gemm_with_config(x, y, config=c)
-            t = timing.time_gemm_like(f, a, b, **t_kw)
-            report(tag, t.seconds, ls)
+            timed(tag, ls, lambda f=f: timing.time_gemm_like(
+                f, a, b, **t_kw))
 
         def xla_dot(x, y):
             return jnp.dot(x, y, preferred_element_type=jnp.float32)
