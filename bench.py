@@ -156,7 +156,13 @@ def main() -> int:
     # floor noise dominated and inflated results by up to +30%).
     candidates = [GemmConfig(1024, 256, 4096), GemmConfig(512, 512, 4096),
                   GemmConfig(256, 1024, 4096), GemmConfig(512, 1024, 2048)]
-    flap = None
+    def _is_transport(e: Exception) -> bool:
+        s = str(e)
+        return any(tok in s for tok in
+                   ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Connection",
+                    "connection", "socket", "Socket"))
+
+    last_err = None
     for cfg in candidates:
         fn = lambda aq, asc, bq, bs, c=cfg: fp8mod.fp8_gemm_with_config(
             aq, asc, bq, bs, config=c)
@@ -170,24 +176,32 @@ def main() -> int:
                     STATE["value"] = tf
                     STATE["vs_baseline"] = tf / peak
                 STATE["configs"] += 1
-                flap = None
+                last_err = None
                 break
             except Exception as e:
                 log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
                     f"attempt {attempt} FAILED {str(e)[:120]}")
-                flap = e
+                last_err = e
+                if not _is_transport(e):
+                    # Deterministic compile/shape rejection: skip the
+                    # config, keep the live backend and its compiled
+                    # kernels (re-init would force recompiling everything
+                    # through the tunnel for nothing).
+                    break
                 if attempt == 1:
                     _reinit_backend()
-        if flap is not None and "UNAVAILABLE" in str(flap):
+        if last_err is not None and _is_transport(last_err):
             log("[bench] transport looks dead after retry — stopping early "
                 "with partial results")
             break
     note = None
-    if flap is not None and STATE["value"] > 0:
+    if last_err is not None and STATE["value"] > 0:
+        kind = ("transport failure" if _is_transport(last_err)
+                else "last-config failure")
         note = (f"partial: {STATE['configs']}/{len(candidates)} configs "
-                f"timed before transport failure")
+                f"timed before {kind}")
     if STATE["value"] <= 0:
-        _emit(error=f"all configs failed: {str(flap)[:120]}")
+        _emit(error=f"all configs failed: {str(last_err)[:120]}")
         return 1
     _emit(note=note)
     return 0

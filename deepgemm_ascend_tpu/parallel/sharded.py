@@ -408,8 +408,9 @@ def make_sharded_prefill_step(mesh: Mesh, cfg: ModelConfig,
     local_experts = cfg.num_experts // ep
     tp_kv = tp_kv_sharding(mesh, cfg)
     S = n_slots
-    S_local = -(-S // dp)          # rows computed per dp shard
-    S_comp = S_local * dp          # row count after pad-to-dp-multiple
+    S_local = -(-S // dp)          # rows computed per dp shard; the
+    # implicit dp·S_local ≥ S pad rows reappear in every all_gather and
+    # are sliced off with [:S].
     metrics.gauge("engine.prefill_rows_per_shard", S_local)
 
     def local_prefill(params, caches, tokens, slots, true_lens):

@@ -325,7 +325,6 @@ def select_kernel_type(
     return KernelType.COMMON, 1
 
 
-@functools.lru_cache(maxsize=4096)
 def get_best_config(
     m: int, n: int, k: int,
     a_itemsize: int = 2, b_itemsize: int = 2, out_itemsize: int = 4,
@@ -340,14 +339,33 @@ def get_best_config(
     selects the calibrated per-op cost constants (≙ the reference's four
     per-layout DoTiling policies, `do_tiling.cpp:20-204` — here the layouts
     differ by fitted constants instead of hand-written tile swaps).
-    Results are memoized per (shape, op) — the in-process analogue of the
-    reference's in-memory tiling cache (`op_tiling/cache.cpp:22-101`); the
-    persistent tier lives in ``tiling.cache``. When the native core
+    Results are memoized per (shape, op, DEVICE) — the device is resolved
+    here, outside the cache, so a mid-process ``DGA_DEVICE`` change
+    (platform.detect re-reads it, advisor r3) can never serve a config
+    computed under the previous device's envelope. The in-process memo ≙
+    the reference's in-memory tiling cache (`op_tiling/cache.cpp:22-101`);
+    the persistent tier lives in ``tiling.cache``. When the native core
     (csrc/dga_core.cpp) is available it computes the same answer in C++
     (equivalence-tested); this Python path is the reference implementation
     and the fallback.
     """
-    info = plat.detect()
+    if device_kind is None:
+        device_kind = plat.detect().device_kind
+    return _get_best_config_for_device(
+        m, n, k, a_itemsize, b_itemsize, out_itemsize, k_granularity,
+        device_kind, op)
+
+
+@functools.lru_cache(maxsize=4096)
+def _get_best_config_for_device(
+    m: int, n: int, k: int,
+    a_itemsize: int, b_itemsize: int, out_itemsize: int,
+    k_granularity: int,
+    device_kind: str,
+    op: str | None,
+) -> GemmConfig:
+    # (get_best_config.cache_clear is aliased below for back-compat.)
+    info = plat.info_for(device_kind)
     params = get_cost_params(op, info)
     hbm = params.hbm_gbps if params.hbm_gbps > 0 else info.hbm_gbps
     from .. import native as _native
@@ -382,6 +400,10 @@ def get_best_config(
     cfg = GemmConfig(block_m=bm, block_n=bn, block_k=bk,
                      kernel_type=ktype, k_split=ksplit, swizzle=swz)
     return _apply_padding_tag(cfg, m, n, k, a_itemsize, b_itemsize, info)
+
+
+# Back-compat: callers/tests clear the memo through the public name.
+get_best_config.cache_clear = _get_best_config_for_device.cache_clear
 
 
 def _apply_padding_tag(cfg: GemmConfig, m: int, n: int, k: int,

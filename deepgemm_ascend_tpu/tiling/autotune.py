@@ -103,6 +103,18 @@ class Autotuner:
     # -- persistence ------------------------------------------------------
     @staticmethod
     def _cfg_key(config: dict) -> str:
+        """Canonical config key, NORMALIZED through GemmConfig so records
+        written before a config-schema extension (e.g. expert_coalesce,
+        round 4) still key-match their candidates after it: from_dict
+        drops unknown keys and fills new fields with defaults, so old and
+        new serializations of the same config hash identically. Without
+        this, every schema change would silently void config-keyed resume
+        (full re-measurement of completed sweeps) and the poisoned-config
+        marker (crash loop on the poisoned candidate)."""
+        try:
+            config = GemmConfig.from_dict(config).to_dict()
+        except (TypeError, ValueError):
+            pass  # unparseable legacy record: key it as-is
         return json.dumps(config, sort_keys=True)
 
     def _load_done(self) -> dict[str, SweepResult]:
@@ -135,7 +147,15 @@ class Autotuner:
             try:
                 with open(self._ckpt_path) as f:
                     d = json.load(f)
-                return d.get("in_flight_cfg"), d.get("in_flight_idx")
+                cfg = d.get("in_flight_cfg")
+                if cfg is not None:
+                    # Re-normalize markers written under an older config
+                    # schema (see _cfg_key) so they still match.
+                    try:
+                        cfg = self._cfg_key(json.loads(cfg))
+                    except (json.JSONDecodeError, TypeError):
+                        pass
+                return cfg, d.get("in_flight_idx")
             except (json.JSONDecodeError, OSError):
                 return None, None
         return None, None

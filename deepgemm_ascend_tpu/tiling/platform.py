@@ -101,6 +101,18 @@ def detect() -> PlatformInfo:
     return _detect(os.environ.get("DGA_DEVICE"))
 
 
+def info_for(kind: str) -> PlatformInfo:
+    """Envelope for a device-kind string (substring match, v5e/cpu
+    fallbacks) — lets device-aware caches key on the kind explicitly."""
+    kind = kind.lower()
+    for key, info in _KNOWN.items():
+        if key in kind:
+            return info
+    if "tpu" in kind:
+        return _KNOWN["v5e"]
+    return _KNOWN["cpu"]
+
+
 @functools.cache
 def _detect(env) -> PlatformInfo:
     if env:
@@ -110,12 +122,7 @@ def _detect(env) -> PlatformInfo:
             kind = jax.devices()[0].device_kind.lower()
         except Exception:  # pragma: no cover - no backend at all
             kind = "cpu"
-    for key, info in _KNOWN.items():
-        if key in kind:
-            return info
-    if "tpu" in kind:
-        return _KNOWN["v5e"]
-    return _KNOWN["cpu"]
+    return info_for(kind)
 
 
 detect.cache_clear = _detect.cache_clear  # back-compat for test overrides

@@ -86,14 +86,38 @@ def main(argv=None) -> int:
         a_i = jnp.dtype(in_dt).itemsize
         o_i = jnp.dtype(out_dt).itemsize
         try:
-            nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
+            if op in ("grouped_gemm", "grouped_gemm_nt"):
+                # Contiguous grouped pins block_m = layout block (= the
+                # record's m) — mirror the sweep/predictor pinning
+                # (autotune_sweep.py / predictor.py), else the unpinned
+                # pick can never match a swept record.
+                cands = analytic.enumerate_candidates(m, n, k, a_i, a_i,
+                                                      o_i, info)
+                pool = sorted({(m, bn, bk) for _, bn, bk in cands
+                               if analytic.judge_space(m, bn, bk, a_i, a_i,
+                                                       o_i, info)})
+                if not pool:
+                    continue
+                bm, bn, bk = min(pool, key=lambda t: analytic.estimate_time(
+                    m, n, k, *t, a_i, a_i, o_i, info, jnp.dtype(in_dt),
+                    op=op).time_s)
+                nat_blocks, nat_ks = (bm, bn, bk), 1
+            else:
+                nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i,
+                                               op=op)
+                nat_blocks = (nat.block_m, nat.block_n, nat.block_k)
+                nat_ks = nat.k_split
         except Exception:
             continue
-        matches = [r for r in recs
-                   if (r["config"]["block_m"], r["config"]["block_n"],
-                       r["config"]["block_k"],
-                       r["config"].get("k_split", 1))
-                   == (nat.block_m, nat.block_n, nat.block_k, nat.k_split)]
+        blocks = lambda r: (r["config"]["block_m"], r["config"]["block_n"],
+                            r["config"]["block_k"])
+        matches = [r for r in recs if blocks(r) == nat_blocks
+                   and r["config"].get("k_split", 1) == nat_ks
+                   and r["config"].get("expert_coalesce", 1) == 1]
+        # k_split variants were never swept; fall back to a blocks-only
+        # match rather than dropping the baseline column.
+        if not matches:
+            matches = [r for r in recs if blocks(r) == nat_blocks]
         if matches:
             analytic_pick[key] = min(matches, key=lambda r: r["time_s"])
 

@@ -83,6 +83,7 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
     evidence-based margin widening derived from it is strictly MORE
     conservative, never less.
     """
+    import jax.numpy as jnp
     import numpy as np
     from deepgemm_ascend_tpu.tiling import analytic, platform as plat
     from deepgemm_ascend_tpu.tiling.predictor import (_OP_DEFAULTS,
@@ -90,58 +91,64 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
                                                       TilingPredictor,
                                                       _features)
     info = plat.detect()
+
+    # Per-shape analytic context is strategy-INVARIANT — compute it once,
+    # not once per strategy (this runs inside retraining loops over
+    # hundreds of shape groups on a 1-CPU rig).
+    ctx = {}
+    for (op, m, n, k), recs in groups.items():
+        if len(recs) < 4:
+            continue
+        fp8 = _is_fp8_op(op)
+        a_i, o_i = (1, 2) if fp8 else (2, 4)
+        in_dt = jnp.float8_e4m3fn if fp8 else jnp.bfloat16
+        nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
+        nat_key = (nat.block_m, nat.block_n, nat.block_k)
+        nat_times = [t for bm, bn, bk, t in recs if (bm, bn, bk) == nat_key]
+        # (1) min-candidates floor over the LEGAL analytic pool (what the
+        # runtime counts), per-op like enable_default_predictor.
+        min_c = _OP_DEFAULTS.get(op, {}).get("min_candidates",
+                                             MIN_CANDIDATES)
+        pool = analytic.enumerate_candidates(m, n, k, a_i, a_i, o_i, info)
+        if op == "grouped_gemm":
+            pool = {(m, bn, bk) for _, bn, bk in pool
+                    if analytic.judge_space(m, bn, bk, a_i, a_i, o_i, info)}
+        est_nat = analytic.estimate_time(
+            m, n, k, nat.block_m, nat.block_n, nat.block_k, a_i, a_i, o_i,
+            info, in_dt, op=op).time_s
+        ctx[(op, m, n, k)] = dict(
+            a_i=a_i, o_i=o_i, in_dt=in_dt, nat_key=nat_key,
+            nat_t=min(nat_times) if nat_times else None,
+            pool_small=len(pool) < min_c, est_nat=est_nat,
+            tiles=np.asarray([r[:3] for r in recs], np.int64),
+            times=np.asarray([r[3] for r in recs]))
+
     out = {}
     for strat in strategies:
         p = TilingPredictor(weights, strategy=strat, min_candidates=1)
         rows = []
         declines = 0
-        for (op, m, n, k), recs in groups.items():
-            if len(recs) < 4:
-                continue
-            tiles = np.asarray([r[:3] for r in recs], np.int64)
-            times = np.asarray([r[3] for r in recs])
+        for (op, m, n, k), c in ctx.items():
+            tiles, times = c["tiles"], c["times"]
             pred = np.exp(p.predict_batch(_features(m, n, k, tiles)))
             idx = p._select(pred, tiles)
             oracle = float(times.min())
             pick = float(times[idx])
-            import jax.numpy as jnp
-            fp8 = _is_fp8_op(op)
-            a_i, o_i = (1, 2) if fp8 else (2, 4)
-            in_dt = jnp.float8_e4m3fn if fp8 else jnp.bfloat16
-            nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
-            nat_key = (nat.block_m, nat.block_n, nat.block_k)
-            nat_times = [t for bm, bn, bk, t in recs
-                         if (bm, bn, bk) == nat_key]
-            nat_t = min(nat_times) if nat_times else None
-            declined = False
-            # (1) min-candidates floor over the LEGAL analytic pool (what
-            # the runtime counts), per-op like enable_default_predictor.
-            min_c = _OP_DEFAULTS.get(op, {}).get(
-                "min_candidates", MIN_CANDIDATES)
-            pool = analytic.enumerate_candidates(m, n, k, a_i, a_i, o_i,
-                                                 info)
-            if op == "grouped_gemm":
-                pool = {(m, bn, bk) for _, bn, bk in pool
-                        if analytic.judge_space(m, bn, bk, a_i, a_i, o_i,
-                                                info)}
-            if len(pool) < min_c:
-                declined = True
+            nat_t = c["nat_t"]
+            declined = c["pool_small"]
             # (2) predicted-time margin vs the analytic config (base
             # NATIVE_MARGIN — evidence widening comes FROM this report).
             if not declined:
-                nat_pred = float(np.exp(p.predict_batch(
-                    _features(m, n, k, np.asarray([nat_key], np.int64)))[0]))
+                nat_pred = float(np.exp(p.predict_batch(_features(
+                    m, n, k, np.asarray([c["nat_key"]], np.int64)))[0]))
                 if float(pred[idx]) > (1.0 - p.margin) * nat_pred:
                     declined = True
             # (3) roofline guardrail.
             if not declined:
                 est_pick = analytic.estimate_time(
-                    m, n, k, *(int(v) for v in tiles[idx]), a_i, a_i, o_i,
-                    info, in_dt, op=op).time_s
-                est_nat = analytic.estimate_time(
-                    m, n, k, nat.block_m, nat.block_n, nat.block_k, a_i,
-                    a_i, o_i, info, in_dt, op=op).time_s
-                if est_pick > p.guard_factor * est_nat:
+                    m, n, k, *(int(v) for v in tiles[idx]), c["a_i"],
+                    c["a_i"], c["o_i"], info, c["in_dt"], op=op).time_s
+                if est_pick > p.guard_factor * c["est_nat"]:
                     declined = True
             if declined:
                 declines += 1

@@ -147,7 +147,11 @@ def test_tp_kv_sharded_flash_decode_matches_and_traces(setup):
 
 @pytest.mark.parametrize(
     "dp,ep,tp",
-    [pytest.param(2, 4, 1, marks=pytest.mark.slow), (2, 2, 2)])
+    # The tp=1 case carries the BITWISE cache-parity claim the dp-sharded
+    # prefill docs lean on — it must run in the default suite; the tp=2
+    # dequant-tolerance variant is the slow-marked sibling (its tp/kv
+    # coverage also exists in test_tp_kv_sharded_flash_decode_*).
+    [(2, 4, 1), pytest.param(2, 2, 2, marks=pytest.mark.slow)])
 def test_mesh_prefill_matches_single_host(setup, dp, ep, tp):
     """VERDICT r1 #3: mesh admission must be a one-dispatch bucketed prefill
     (flash-prefill kernel per shard, trace-counted), with caches equal to

@@ -457,3 +457,34 @@ def test_detect_rereads_dga_device(monkeypatch):
     monkeypatch.delenv("DGA_DEVICE")
     # Falls back to backend detection (CPU under the test harness).
     assert platform.detect().device_kind == "cpu"
+
+
+def test_autotune_resume_survives_config_schema_extension(tmp_path):
+    """Round-4 regression: records/checkpoints written BEFORE a GemmConfig
+    field was added (e.g. expert_coalesce) must still key-match their
+    candidates on resume — otherwise every schema extension silently voids
+    config-keyed resume (full re-measurement on the scarce chip window)
+    and the poisoned-config marker (crash loop)."""
+    # Write a results file + crash checkpoint in the OLD schema: config
+    # dicts with no expert_coalesce key.
+    old_cfg = GemmConfig(128, 128, 128).to_dict()
+    old_cfg.pop("expert_coalesce")
+    rec = {"m": 64, "n": 64, "k": 64, "op": "gemm", "config": old_cfg,
+           "time_s": 0.2, "tflops": 1.0, "correct": True, "idx": 0}
+    with open(tmp_path / "results.jsonl", "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    old_poison = GemmConfig(256, 256, 256).to_dict()
+    old_poison.pop("expert_coalesce")
+    with open(tmp_path / "ckpt.json", "w") as f:
+        json.dump({"in_flight_cfg": json.dumps(old_poison, sort_keys=True),
+                   "in_flight_idx": 1}, f)
+    cands = [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256),
+             GemmConfig(512, 128, 128)]
+    tuner, calls = _mk_tuner(tmp_path, {(128, 128, 128): 0.9,
+                                        (256, 256, 256): 0.1,
+                                        (512, 128, 128): 0.5})
+    win = tuner.sweep_shape(64, 64, 64, cands)
+    # The old-schema record is honored (not re-timed), the old-schema
+    # poisoned marker is honored (not retried), only the new config runs.
+    assert calls == [GemmConfig(512, 128, 128)], calls
+    assert win == GemmConfig(128, 128, 128)
