@@ -22,6 +22,28 @@ for op in gemm fp8_gemm_nt grouped_gemm grouped_gemm_masked; do
       | tail -20
 done
 
+echo "=== [2b/4] fp8_gemm candidate retrain (replace only if it beats ==="
+echo "    the proven packaged model: holdout 1.07 / win-rate 0.56)     ==="
+$PY scripts/train_predictor.py 'autotune_results*/*_r0.jsonl' \
+    --op fp8_gemm --holdout 0.25 \
+    --out /tmp/predictor_fp8_gemm_candidate.npz | tail -5
+$PY - <<'PYEOF'
+from deepgemm_ascend_tpu.tiling.predictor import MLPWeights
+cand = MLPWeights.load("/tmp/predictor_fp8_gemm_candidate.npz")
+po = cand.meta.get("holdout_pick_oracle")
+wr = cand.meta.get("holdout_winrate")
+# Packaged fp8_gemm checkpoint's documented holdout: 1.07 / 0.56
+# (README/ad4be61). Replace only on a strict improvement on BOTH axes.
+if po is not None and wr is not None and po <= 1.07 and wr >= 0.56:
+    import shutil
+    shutil.copy("/tmp/predictor_fp8_gemm_candidate.npz",
+                "deepgemm_ascend_tpu/data/predictor_fp8_gemm.npz")
+    print(f"[harvest] fp8_gemm predictor REPLACED (po={po:.3f} wr={wr})")
+else:
+    print(f"[harvest] fp8_gemm predictor KEPT (candidate po={po} wr={wr} "
+          f"does not beat packaged 1.07/0.56)")
+PYEOF
+
 echo "=== [3/4] recalibrate the cost model ==="
 $PY scripts/calibrate_cost_model.py 'autotune_results*/*_r0.jsonl' \
     --device 'tpu v5e' --out deepgemm_ascend_tpu/data/cost_model.json

@@ -26,7 +26,12 @@ bash scripts/post_sweep_r4.sh >> post_sweep_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) straggler+layer done; serving benches" >> $STATE
 python scripts/serve_bench.py --mode chunksweep > serve_chunksweep_r4.log 2>&1
 python scripts/serve_bench.py --mode mixed > serve_mixed_r4.log 2>&1
-echo "$(date -u +%H:%M:%S) serving benches done; r4 queue" >> $STATE
+echo "$(date -u +%H:%M:%S) serving benches done; aot check" >> $STATE
+# Real-Mosaic validation of the round-4 dp-sharded prefill program (the
+# CPU dryrun is interpret-mode; this catches lane/layout rejections).
+python scripts/aot_multichip_check.py --topology v5e:2x4 --model v2_lite \
+  --batch 64 --max-seq 2048 --out docs/aot > aot_check_r4.log 2>&1
+echo "$(date -u +%H:%M:%S) aot check done; r4 queue" >> $STATE
 bash scripts/sweep_queue_r4.sh >> autotune_results_r4_queue.log 2>&1
 echo "$(date -u +%H:%M:%S) r4 done; r4b queue" >> $STATE
 bash scripts/sweep_queue_r4b.sh >> autotune_results_r4b_queue.log 2>&1
@@ -34,7 +39,9 @@ echo "$(date -u +%H:%M:%S) r4b done; r4c queue" >> $STATE
 bash scripts/sweep_queue_r4c.sh >> autotune_results_r4c_queue.log 2>&1
 echo "$(date -u +%H:%M:%S) r4c done; r4d queue" >> $STATE
 bash scripts/sweep_queue_r4d.sh >> autotune_results_r4d_queue.log 2>&1
-echo "$(date -u +%H:%M:%S) r4d done; harvest" >> $STATE
+echo "$(date -u +%H:%M:%S) r4d done; r4e queue" >> $STATE
+bash scripts/sweep_queue_r4e.sh >> autotune_results_r4e_queue.log 2>&1
+echo "$(date -u +%H:%M:%S) r4e done; harvest" >> $STATE
 bash scripts/harvest_r4.sh > harvest_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) all done" >> $STATE
 touch watch_r4.done
