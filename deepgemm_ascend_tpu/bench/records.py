@@ -30,6 +30,7 @@ OP_DTYPES = {
     "gemm_nt": ("bfloat16", "float32"),
     "gemm_tn": ("bfloat16", "float32"),
     "gemm_tt": ("bfloat16", "float32"),
+    "int8_gemm": ("int8", "bfloat16"),
     "grouped_gemm": ("float8_e4m3fn", "bfloat16"),
     "grouped_gemm_nt": ("float8_e4m3fn", "bfloat16"),
     "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16"),

@@ -1,0 +1,184 @@
+"""W8A8 INT8 GEMM — int32 accumulation at the MXU's int8 rate.
+
+Capability extension beyond the reference (its dense kernels are
+bf16/fp16 only, ``mmad_jit.cpp:42-416``) exploiting a TPU-specific
+envelope fact: the MXU runs int8×int8→int32 at 2× the bf16/fp8 rate
+(394 vs 197 TOPS on v5e — ``tiling/platform.py`` ``peak_int8_tops``; fp8
+e4m3 does NOT get this rate, it runs at the bf16 rate, measured round 1).
+
+Scaling scheme: per-token activation scales (m, 1) × per-channel weight
+scales (1, n) — the standard W8A8 serving recipe. Unlike the fp8
+blockwise op (128-deep K groups dequantized inside the accumulator,
+``ops/fp8_gemm.py``), both scales factor OUT of the K sum entirely:
+
+    out[i, j] = (Σ_k a_q[i,k]·b_q[k,j]) · a_s[i] · b_s[j]
+
+so the kernel is one int32-accumulated dot chain over full K plus a
+single f32 epilogue multiply at the store step — no per-K-group scale
+traffic at all. Numerically this trades fp8's fine-grained blockwise
+range handling for 2× compute rate; per-token/per-channel int8 is the
+established accuracy/throughput point for W8A8 serving.
+
+Kernel structure mirrors ops/gemm.py (grid (nm, nn, nk), K-tail zero
+masking, swizzle) — reference loop-nest citation there.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import GemmConfig, SwizzleDir
+from ..tiling import selector
+from ..utils.common import ceil_div, round_up
+from .gemm import _interpret_default
+
+__all__ = ["int8_gemm", "int8_gemm_with_config"]
+
+
+def _int8_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
+                 nk: int, k_rem: int, out_dtype):
+    """One (bm, bk)·(bk, bn) int8 MXU step with int32 accumulation; scales
+    applied once in the store epilogue (they factor out of the K sum)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    if k_rem:
+        # K tail: zero the out-of-range lanes of the LAST k block in both
+        # operands (OOB int8 garbage would silently poison the int32 sum).
+        in_tail = k == nk - 1
+        a_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        a = jnp.where(~in_tail | (a_iota < k_rem), a, 0)
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+        b = jnp.where(~in_tail | (b_iota < k_rem), b, 0)
+    acc_ref[:] += jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _store():
+        scaled = (acc_ref[:].astype(jnp.float32)
+                  * as_ref[:] * bs_ref[:])      # (bm,1)·(1,bn) broadcast
+        o_ref[:] = scaled.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+def int8_gemm_with_config(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    *,
+    config: GemmConfig,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """W8A8 GEMM with an explicit tile config (autotuner entry point).
+
+    a_q (m, k) int8 with a_scales (m, 1) f32 (per token);
+    b_q (k, n) int8 with b_scales (1, n) f32 (per output channel).
+    """
+    m, k = a_q.shape
+    k2, n = b_q.shape
+    if k != k2:
+        raise ValueError(f"inner dims mismatch: {a_q.shape} @ {b_q.shape}")
+    if a_q.dtype != jnp.int8 or b_q.dtype != jnp.int8:
+        raise ValueError(
+            f"int8_gemm needs int8 operands, got {a_q.dtype}/{b_q.dtype}")
+    if a_scales.shape != (m, 1):
+        raise ValueError(f"a_scales must be {(m, 1)}, got {a_scales.shape}")
+    if b_scales.shape != (1, n):
+        raise ValueError(f"b_scales must be {(1, n)}, got {b_scales.shape}")
+    if interpret is None:
+        interpret = _interpret_default()
+
+    bm = min(config.block_m, round_up(m, 32))   # int8 sublane = 32
+    bn = min(config.block_n, round_up(n, 128))
+    bk = min(config.block_k, round_up(k, 128))
+    nm, nn, nk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
+    k_rem = k - (nk - 1) * bk if k % bk else 0
+
+    kernel = functools.partial(_int8_kernel, nk=nk, k_rem=k_rem,
+                               out_dtype=out_dtype)
+    n_major = config.swizzle == SwizzleDir.N_MAJOR
+    if n_major:
+        grid = (nn, nm, nk)
+        ix = lambda j, i, kk: (i, kk)
+        jx = lambda j, i, kk: (kk, j)
+        sx_a = lambda j, i, kk: (i, 0)
+        sx_b = lambda j, i, kk: (0, j)
+        ox = lambda j, i, kk: (i, j)
+    else:
+        grid = (nm, nn, nk)
+        ix = lambda i, j, kk: (i, kk)
+        jx = lambda i, j, kk: (kk, j)
+        sx_a = lambda i, j, kk: (i, 0)
+        sx_b = lambda i, j, kk: (0, j)
+        ox = lambda i, j, kk: (i, j)
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": config.vmem_limit_bytes}
+               if config.vmem_limit_bytes else {}),
+        )
+    osz = jnp.dtype(out_dtype).itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), ix),
+            # (bm, 1) / (1, bn) scale blocks: the size-1 dim equals the
+            # full array dim, which Mosaic's block rule accepts.
+            pl.BlockSpec((bm, 1), sx_a),
+            pl.BlockSpec((bk, bn), jx),
+            pl.BlockSpec((1, bn), sx_b),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), ox),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=int(m * k + k * n + (m + n) * 4 + m * n * osz),
+            transcendentals=0),
+        interpret=interpret,
+        **params,
+    )(a_q, a_scales.astype(jnp.float32), b_q,
+      b_scales.astype(jnp.float32))
+
+
+def int8_gemm(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    config: Optional[GemmConfig] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """W8A8 GEMM: per-token × per-channel scaled int8 at the int8 MXU rate.
+
+    Quantize with ``quant.quantize_int8(a, axis=-1)`` (per token) and
+    ``quant.quantize_int8(b, axis=0)`` (per channel). Tiling comes from
+    the standard three-tier selector under op key ``int8_gemm``.
+    """
+    m, k = a_q.shape
+    n = b_q.shape[1]
+    cfg = selector.select_config(m, n, k, a_q.dtype, out_dtype,
+                                 op="int8_gemm", override=config)
+    return int8_gemm_with_config(
+        a_q, a_scales, b_q, b_scales, config=cfg, out_dtype=out_dtype,
+        interpret=interpret)

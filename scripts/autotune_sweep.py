@@ -25,7 +25,7 @@ def main(argv=None) -> int:
                     choices=["reference", "dynamic", "headline", "grouped"])
     ap.add_argument("--op", default="fp8_gemm",
                     choices=["gemm", "gemm_nt", "gemm_tn", "gemm_tt",
-                             "fp8_gemm", "fp8_gemm_nt",
+                             "fp8_gemm", "fp8_gemm_nt", "int8_gemm",
                              "grouped_gemm_masked",
                              "grouped_gemm_contiguous",
                              "grouped_gemm_masked_nt",
@@ -275,6 +275,26 @@ def main(argv=None) -> int:
                 return t.seconds
 
             in_dtype, m2 = jnp.float8_e4m3fn, m
+        elif args.op == "int8_gemm":
+            # W8A8: per-token × per-channel scales (ops/int8_gemm.py) —
+            # the MXU's 394-TOPS int8 path, 2× the bf16/fp8 rate.
+            from deepgemm_ascend_tpu.ops import int8_gemm as i8mod
+            n2, k2 = round_up(n, 128), round_up(k, 128)
+            a = golden.gen_heavy_tail((m, k2), seed=0)
+            b = golden.gen_heavy_tail((k2, n2), seed=1)
+            a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)
+            b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=0)
+
+            def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, b_s=b_s,
+                        i8mod=i8mod):
+                f = lambda aq, asc, bq, bs: i8mod.int8_gemm_with_config(
+                    aq, asc, bq, bs, config=cfg)
+                t = timing.time_gemm_like(f, a_q, a_s, b_q, b_s,
+                                          iters=args.iters, repeats=2,
+                                          min_chain_seconds=args.min_chain)
+                return t.seconds
+
+            in_dtype, m2 = jnp.int8, m
         else:
             # Dense bf16 in any storage layout: op "gemm" / "gemm_nt" /
             # "gemm_tn" / "gemm_tt" (≙ the reference's 4-way layout
@@ -332,7 +352,8 @@ def main(argv=None) -> int:
                 retry_failed=args.retry_poisoned)
         win = tuner.sweep_shape(
             m2, n2, k2, in_dtype=in_dtype, candidates=candidates,
-            out_dtype=(jnp.bfloat16 if args.op.startswith("fp8_gemm")
+            out_dtype=(jnp.bfloat16
+                       if args.op.startswith(("fp8_gemm", "int8_gemm"))
                        else jnp.float32),
             # The ksplit-evidence list is hand-ordered — don't let the
             # analytic re-sort (which can't price the reduce epilogue)

@@ -37,6 +37,7 @@ def main(argv=None) -> int:
     info = plat.detect()
     device = args.device or info.device_kind
     op_dtypes = {"gemm": ("bfloat16", "float32"),
+                 "int8_gemm": ("int8", "bfloat16"),
                  "gemm_nt": ("bfloat16", "float32"),
                  "gemm_tn": ("bfloat16", "float32"),
                  "gemm_tt": ("bfloat16", "float32"),

@@ -34,4 +34,11 @@ $PY scripts/autotune_sweep.py --op grouped_gemm_masked \
   --max-candidates 16 --explore-extra 6 --iters 16 --min-chain 0.25 --shapes \
   8 128 1408 2048  8 128 2048 1408
 
+echo "=== [4/4] int8 W8A8 headline + serving shapes (NEW op; the MXU ==="
+echo "    int8 path runs 394 TOPS = 2x the bf16/fp8 rate)            ==="
+$PY scripts/autotune_sweep.py --op int8_gemm --out-dir autotune_results_r4e \
+  --max-candidates 14 --iters 16 --min-chain 0.25 --shapes \
+  4096 4096 4096   64 7168 16384   128 4096 7168  1024 4096 7168 \
+  2048 7168 16384  8192 4096 7168
+
 echo "=== r4e queue done ==="
