@@ -39,7 +39,9 @@ def __getattr__(name):
     if name in ("m_grouped_gemm_contiguous", "m_grouped_gemm_masked"):
         from .ops import grouped_gemm as _m
         return getattr(_m, name)
-    if name in ("int8_gemm", "int8_gemm_with_config"):
+    if name in ("int8_gemm", "int8_gemm_with_config",
+                "m_grouped_int8_gemm_contiguous",
+                "m_grouped_int8_gemm_masked"):
         from .ops import int8_gemm as _m
         return getattr(_m, name)
     if name in ("quantize_activations", "quantize_weights_blockwise"):

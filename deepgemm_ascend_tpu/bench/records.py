@@ -31,6 +31,8 @@ OP_DTYPES = {
     "gemm_tn": ("bfloat16", "float32"),
     "gemm_tt": ("bfloat16", "float32"),
     "int8_gemm": ("int8", "bfloat16"),
+    "int8_grouped_gemm": ("int8", "bfloat16"),
+    "int8_grouped_gemm_masked": ("int8", "bfloat16"),
     "grouped_gemm": ("float8_e4m3fn", "bfloat16"),
     "grouped_gemm_nt": ("float8_e4m3fn", "bfloat16"),
     "grouped_gemm_masked": ("float8_e4m3fn", "bfloat16"),
@@ -78,7 +80,7 @@ def light_speed_floor_s(op: str, m: int, n: int, k: int,
     import jax.numpy as jnp
     info = info or _plat.detect()
     rl = _roofline.gemm_roofline(m, n, k, in_dtype, out_dtype, info)
-    if scale <= 1 or not op.startswith("grouped"):
+    if scale <= 1 or "grouped" not in op:   # int8_grouped_* counts too
         return rl.light_speed_s * scale
     isz = jnp.dtype(in_dtype).itemsize
     osz = jnp.dtype(out_dtype).itemsize

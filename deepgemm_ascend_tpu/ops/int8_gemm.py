@@ -38,7 +38,8 @@ from ..tiling import selector
 from ..utils.common import ceil_div, round_up
 from .gemm import _interpret_default
 
-__all__ = ["int8_gemm", "int8_gemm_with_config"]
+__all__ = ["int8_gemm", "int8_gemm_with_config",
+           "m_grouped_int8_gemm_contiguous", "m_grouped_int8_gemm_masked"]
 
 
 def _int8_kernel(a_ref, as_ref, b_ref, bs_ref, o_ref, acc_ref, *,
@@ -182,3 +183,242 @@ def int8_gemm(
     return int8_gemm_with_config(
         a_q, a_scales, b_q, b_scales, config=cfg, out_dtype=out_dtype,
         interpret=interpret)
+
+
+# ---- grouped W8A8 (MoE) ---------------------------------------------------
+#
+# Same scalar-prefetch grid structure as the fp8 grouped kernels
+# (ops/grouped_gemm.py — DeepGEMM m_grouped_* API shape), but the W8A8
+# scaling scheme (per-token × per-expert-channel) factors out of the K-sum,
+# so each grid step is a pure int32 dot and the scales apply once in the
+# store epilogue — no blocked scale-panel plumbing at all.
+
+
+def _int8_grouped_kernel(gid_ref, a_ref, as_ref, b_ref, bs_ref, o_ref,
+                         acc_ref, *, nk: int, k_rem: int, out_dtype):
+    """Contiguous grouped step. Grid (nm, nn, nk); gid_ref (nm,) expert per
+    m-tile (-1 = padding tile). b block (1, bk, bn) of (E, K, N);
+    bs block (1, 1, bn) of (E, 1, N) per-channel expert scales."""
+    i = pl.program_id(0)
+    k = pl.program_id(2)
+    active = gid_ref[i] >= 0
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(active)
+    def _compute():
+        a = a_ref[:]
+        b = b_ref[0]
+        if k_rem:
+            in_tail = k == nk - 1
+            a_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            a = jnp.where(~in_tail | (a_iota < k_rem), a, 0)
+            b_iota = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+            b = jnp.where(~in_tail | (b_iota < k_rem), b, 0)
+        acc_ref[:] += jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _store():
+        scaled = acc_ref[:].astype(jnp.float32) * as_ref[:] * bs_ref[0]
+        o_ref[:] = jnp.where(active, scaled, 0.0).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+def _int8_grouped_contiguous_call(tile_gids, a_q, a_s, b_q, b_s, *,
+                                  config, out_dtype, interpret):
+    m, k = a_q.shape
+    e, _, n = b_q.shape
+    bm = config.block_m
+    bn, bk = min(config.block_n, round_up(n, 128)), min(config.block_k,
+                                                        round_up(k, 128))
+    nm, nn, nk = m // bm, ceil_div(n, bn), ceil_div(k, bk)
+    k_rem = k - (nk - 1) * bk if k % bk else 0
+    kernel = functools.partial(_int8_grouped_kernel, nk=nk, k_rem=k_rem,
+                               out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk, gid: (i, kk)),
+            pl.BlockSpec((bm, 1), lambda i, j, kk, gid: (i, 0)),
+            pl.BlockSpec((1, bk, bn),
+                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), kk,
+                                                j)),
+            pl.BlockSpec((1, 1, bn),
+                         lambda i, j, kk, gid: (jnp.maximum(gid[i], 0), 0,
+                                                j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, gid: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret, **params,
+    )(tile_gids, a_q, a_s.astype(jnp.float32), b_q,
+      b_s.astype(jnp.float32))
+
+
+def m_grouped_int8_gemm_contiguous(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    tile_group_ids: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    config: Optional[GemmConfig] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Contiguous grouped W8A8 GEMM (MoE prefill at the int8 MXU rate).
+
+    a_q (M_total, K) int8 rows grouped by expert (spans aligned to
+    block_m — plan with ``grouped_gemm.make_contiguous_layout``);
+    a_scales (M_total, 1) f32 per token; b_q (E, K, N) int8;
+    b_scales (E, 1, N) f32 per expert output channel;
+    tile_group_ids (M_total/block_m,) int32, -1 = padding tile.
+    """
+    m, k = a_q.shape
+    e, k2, n = b_q.shape
+    if k != k2:
+        raise ValueError(f"inner dims mismatch: {a_q.shape} @ {b_q.shape}")
+    if a_scales.shape != (m, 1):
+        raise ValueError(f"a_scales must be {(m, 1)}, got {a_scales.shape}")
+    if b_scales.shape != (e, 1, n):
+        raise ValueError(
+            f"b_scales must be {(e, 1, n)}, got {b_scales.shape}")
+    n_tiles = int(jnp.shape(tile_group_ids)[0])
+    bm_layout = m // max(n_tiles, 1)
+    cfg = selector.select_config(
+        max(bm_layout, 1), n, k, a_q.dtype, out_dtype,
+        op="int8_grouped_gemm", override=config)
+    if config is None and cfg.block_m != bm_layout:
+        cfg = cfg.replace(block_m=bm_layout)
+    if m % cfg.block_m:
+        raise ValueError(f"M_total={m} not a multiple of block_m="
+                         f"{cfg.block_m}")
+    if interpret is None:
+        interpret = _interpret_default()
+    return _int8_grouped_contiguous_call(
+        jnp.asarray(tile_group_ids, jnp.int32), a_q, a_scales, b_q,
+        b_scales, config=cfg, out_dtype=out_dtype, interpret=interpret)
+
+
+def _int8_masked_kernel(mask_ref, a_ref, as_ref, b_ref, bs_ref, o_ref,
+                        acc_ref, *, nk: int, k_rem: int, bm: int,
+                        out_dtype):
+    """Masked grouped step. Grid (E, nm, nn, nk); blocks carry a leading
+    expert dim of 1 (the fp8 twin's expert_coalesce knob can be grafted
+    here once probe data justifies it)."""
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    k = pl.program_id(3)
+    active = i * bm < mask_ref[e]
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(active)
+    def _compute():
+        a = a_ref[0]
+        b = b_ref[0]
+        if k_rem:
+            in_tail = k == nk - 1
+            a_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            a = jnp.where(~in_tail | (a_iota < k_rem), a, 0)
+            b_iota = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+            b = jnp.where(~in_tail | (b_iota < k_rem), b, 0)
+        acc_ref[:] += jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _store():
+        scaled = acc_ref[:].astype(jnp.float32) * as_ref[0] * bs_ref[0]
+        o_ref[0] = jnp.where(active, scaled, 0.0).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "out_dtype", "interpret"))
+def _int8_grouped_masked_call(masked_m, a_q, a_s, b_q, b_s, *,
+                              config, out_dtype, interpret):
+    e, m_max, k = a_q.shape
+    n = b_q.shape[2]
+    bm = min(config.block_m, round_up(m_max, 32))
+    bn, bk = min(config.block_n, round_up(n, 128)), min(config.block_k,
+                                                        round_up(k, 128))
+    nm, nn, nk = ceil_div(m_max, bm), ceil_div(n, bn), ceil_div(k, bk)
+    k_rem = k - (nk - 1) * bk if k % bk else 0
+    kernel = functools.partial(_int8_masked_kernel, nk=nk, k_rem=k_rem,
+                               bm=bm, out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda g, i, j, kk, mm: (g, i, kk)),
+            pl.BlockSpec((1, bm, 1), lambda g, i, j, kk, mm: (g, i, 0)),
+            pl.BlockSpec((1, bk, bn), lambda g, i, j, kk, mm: (g, kk, j)),
+            pl.BlockSpec((1, 1, bn), lambda g, i, j, kk, mm: (g, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn),
+                               lambda g, i, j, kk, mm: (g, i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"))
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, m_max, n), out_dtype),
+        interpret=interpret, **params,
+    )(masked_m, a_q, a_s.astype(jnp.float32), b_q, b_s.astype(jnp.float32))
+
+
+def m_grouped_int8_gemm_masked(
+    a_q: jax.Array,
+    a_scales: jax.Array,
+    b_q: jax.Array,
+    b_scales: jax.Array,
+    masked_m: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    config: Optional[GemmConfig] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Masked grouped W8A8 GEMM (MoE decode, fixed shapes, int8 MXU rate).
+
+    a_q (E, M_max, K) int8 with a_scales (E, M_max, 1) f32 per token;
+    b_q (E, K, N) int8 with b_scales (E, 1, N) f32; masked_m (E,) int32.
+    Rows ≥ masked_m[e] are unspecified (inactive tiles zeroed), same
+    contract as the fp8 twin.
+    """
+    e, m_max, k = a_q.shape
+    e2, k2, n = b_q.shape
+    if e != e2 or k != k2:
+        raise ValueError(f"bad shapes: a {a_q.shape}, b {b_q.shape}")
+    if a_scales.shape != (e, m_max, 1):
+        raise ValueError(
+            f"a_scales must be {(e, m_max, 1)}, got {a_scales.shape}")
+    if b_scales.shape != (e, 1, n):
+        raise ValueError(
+            f"b_scales must be {(e, 1, n)}, got {b_scales.shape}")
+    cfg = selector.select_config(
+        m_max, n, k, a_q.dtype, out_dtype, op="int8_grouped_gemm_masked",
+        override=config)
+    if interpret is None:
+        interpret = _interpret_default()
+    return _int8_grouped_masked_call(
+        jnp.asarray(masked_m, jnp.int32), a_q, a_scales, b_q, b_scales,
+        config=cfg, out_dtype=out_dtype, interpret=interpret)

@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     device = args.device or info.device_kind
     op_dtypes = {"gemm": ("bfloat16", "float32"),
                  "int8_gemm": ("int8", "bfloat16"),
+                 "int8_grouped_gemm": ("int8", "bfloat16"),
+                 "int8_grouped_gemm_masked": ("int8", "bfloat16"),
                  "gemm_nt": ("bfloat16", "float32"),
                  "gemm_tn": ("bfloat16", "float32"),
                  "gemm_tt": ("bfloat16", "float32"),

@@ -82,3 +82,64 @@ def test_int8_gemm_rejects_bad_scales_and_dtypes():
 def test_int8_gemm_package_lazy_export():
     import deepgemm_ascend_tpu as dga
     assert dga.int8_gemm is i8.int8_gemm
+
+
+def test_int8_grouped_contiguous_matches_golden():
+    from deepgemm_ascend_tpu.ops.grouped_gemm import make_contiguous_layout
+    e, k, n, bm = 3, 256, 128, 16
+    b = golden.gen_heavy_tail((e, k, n), seed=7)
+    b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=1)    # (e,1,n)
+    tokens = [16, 5, 0]    # uneven, incl. an empty expert
+    m_total, tile_ids, row_map = make_contiguous_layout(tokens, bm)
+    a_rows = golden.gen_heavy_tail((sum(tokens), k), seed=8)
+    a = np.zeros((m_total, k), np.float64)
+    for i, src in enumerate(row_map):
+        if src >= 0:
+            a[i] = a_rows[src]
+    a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)   # (m,1)
+    out = i8.m_grouped_int8_gemm_contiguous(
+        a_q, a_s, b_q, b_s, jnp.asarray(tile_ids),
+        config=GemmConfig(block_m=bm, block_n=128, block_k=128),
+        out_dtype=jnp.float32)
+    out = np.asarray(out)
+    row = 0
+    for g, cnt in enumerate(tokens):
+        padded = -(-cnt // bm) * bm if cnt else 0
+        if not padded:
+            continue
+        seg = slice(row, row + padded)
+        ref = (np.asarray(a_q, np.float64)[seg]
+               @ np.asarray(b_q, np.float64)[g]
+               * np.asarray(a_s, np.float64)[seg]
+               * np.asarray(b_s, np.float64)[g])
+        res = verify.verify(out[seg][:cnt], ref[:cnt], rtol=1e-5,
+                            atol=1e-6)
+        assert res.ok, (g, res)
+        row += padded
+    # padding TILES (id -1) zeroed — e.g. none here beyond group pads;
+    # group-pad ROWS within a live tile are computed (garbage ok per
+    # contract), so only assert the valid rows above.
+
+
+def test_int8_grouped_masked_matches_golden_and_zeroes():
+    e, m_max, k, n = 4, 32, 256, 128
+    masked = [16, 3, 0, 32]
+    b = golden.gen_heavy_tail((e, k, n), seed=9)
+    b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=1)
+    a = golden.gen_heavy_tail((e, m_max, k), seed=10)
+    a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)   # (e,m,1)
+    out = i8.m_grouped_int8_gemm_masked(
+        a_q, a_s, b_q, b_s, jnp.asarray(masked),
+        config=GemmConfig(block_m=16, block_n=128, block_k=128),
+        out_dtype=jnp.float32)
+    out = np.asarray(out)
+    for g in range(e):
+        mm = masked[g]
+        ref = (np.asarray(a_q, np.float64)[g]
+               @ np.asarray(b_q, np.float64)[g]
+               * np.asarray(a_s, np.float64)[g]
+               * np.asarray(b_s, np.float64)[g])
+        res = verify.verify(out[g, :mm], ref[:mm], rtol=1e-5, atol=1e-6)
+        assert res.ok, (g, res)
+        first_dead = -(-mm // 16) * 16
+        assert np.all(out[g, first_dead:] == 0.0), g
