@@ -32,16 +32,23 @@ echo "$(date -u +%H:%M:%S) serving benches done; aot check" >> $STATE
 python scripts/aot_multichip_check.py --topology v5e:2x4 --model v2_lite \
   --batch 64 --max-seq 2048 --out docs/aot > aot_check_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) aot check done; r4 queue" >> $STATE
+# Harvest INCREMENTALLY after each sweep stage (publish/retrain/report
+# are idempotent, CPU-only, ~minutes): if the round ends mid-queue, the
+# tables and packaged tilings still reflect everything measured so far.
 bash scripts/sweep_queue_r4.sh >> autotune_results_r4_queue.log 2>&1
 echo "$(date -u +%H:%M:%S) r4 done; r4b queue" >> $STATE
 bash scripts/sweep_queue_r4b.sh >> autotune_results_r4b_queue.log 2>&1
-echo "$(date -u +%H:%M:%S) r4b done; r4c queue" >> $STATE
+echo "$(date -u +%H:%M:%S) r4b done; harvest-1" >> $STATE
+bash scripts/harvest_r4.sh > harvest_r4_stage1.log 2>&1
+echo "$(date -u +%H:%M:%S) harvest-1 done; r4c queue" >> $STATE
 bash scripts/sweep_queue_r4c.sh >> autotune_results_r4c_queue.log 2>&1
 echo "$(date -u +%H:%M:%S) r4c done; r4d queue" >> $STATE
 bash scripts/sweep_queue_r4d.sh >> autotune_results_r4d_queue.log 2>&1
-echo "$(date -u +%H:%M:%S) r4d done; r4e queue" >> $STATE
+echo "$(date -u +%H:%M:%S) r4d done; harvest-2" >> $STATE
+bash scripts/harvest_r4.sh > harvest_r4_stage2.log 2>&1
+echo "$(date -u +%H:%M:%S) harvest-2 done; r4e queue" >> $STATE
 bash scripts/sweep_queue_r4e.sh >> autotune_results_r4e_queue.log 2>&1
-echo "$(date -u +%H:%M:%S) r4e done; harvest" >> $STATE
+echo "$(date -u +%H:%M:%S) r4e done; final harvest" >> $STATE
 bash scripts/harvest_r4.sh > harvest_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) all done" >> $STATE
 touch watch_r4.done

@@ -143,3 +143,24 @@ def test_int8_grouped_masked_matches_golden_and_zeroes():
         assert res.ok, (g, res)
         first_dead = -(-mm // 16) * 16
         assert np.all(out[g, first_dead:] == 0.0), g
+
+
+def test_int8_vs_fp8_numerics_tradeoff_documented():
+    """Quantization-error sanity on heavy-tail data: W8A8 per-token int8
+    must stay within a usable band of the TRUE (unquantized) product, and
+    the docstring's claimed tradeoff (coarser range handling than fp8
+    blockwise, 2× compute rate) must not mean catastrophic error."""
+    m, k, n = 64, 512, 256
+    a = golden.gen_heavy_tail((m, k), seed=20)
+    b = golden.gen_heavy_tail((k, n), seed=21)
+    exact = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+
+    a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)
+    b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=0)
+    out = np.asarray(i8.int8_gemm_with_config(
+        a_q, a_s, b_q, b_s, config=GemmConfig(32, 128, 256),
+        out_dtype=jnp.float32), np.float64)
+    rel = (np.linalg.norm(out - exact) / np.linalg.norm(exact))
+    # Heavy-tail per-token int8: a few % relative L2 is the expected W8A8
+    # operating band; >10% would mean the scale plumbing is broken.
+    assert rel < 0.05, rel
