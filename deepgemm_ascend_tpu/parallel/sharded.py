@@ -258,10 +258,26 @@ def _sample_sharded(logits_local, key, *, temperature: float, top_k: int,
     return all_arg[win, rows] + win * v_local
 
 
+# One compiled program per (mesh, cfg, variant): engines and tests build
+# these repeatedly with identical keys, and every fresh jax.jit wrapper
+# re-traces + recompiles the full SPMD program. ``params`` contributes
+# only its pytree STRUCTURE (param_specs), which is cfg-determined, so it
+# is deliberately absent from the key. Trace-time assertions (metrics
+# counters) can force a rebuild via :func:`clear_program_memo`.
+_PROGRAM_MEMO: dict = {}
+
+
+def clear_program_memo() -> None:
+    """Drop memoized SPMD programs (tests asserting trace-time counters)."""
+    _PROGRAM_MEMO.clear()
+
+
 def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
                              params: ModelParams, *,
                              sample: Optional[dict] = None):
-    """Build the jitted SPMD decode step for this mesh.
+    """Build the jitted SPMD decode step for this mesh (memoized per
+    (mesh, cfg, sample) — an Engine restart or repeated test setup reuses
+    the compiled program instead of re-tracing).
 
     Default: ``step(params, tokens, caches, seq_lens) -> (logits, caches)``
     with tokens (batch,) int32 sharded on "data" and logits gathered full.
@@ -273,6 +289,11 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
     :func:`_sample_sharded` (temperature 0 ⇒ greedy, bit-identical to
     argmax of the gathered logits; top-p via bounded threshold search).
     """
+    memo_key = ("decode", mesh, cfg,
+                tuple(sorted(sample.items())) if sample else None)
+    hit = _PROGRAM_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     tp = mesh.shape["model"]
     ep = mesh.shape["expert"]
     if cfg.num_heads % tp:
@@ -349,7 +370,9 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
         # Donate the KV caches — without it every step holds two full
         # copies of the multi-layer int8 cache per shard and re-writes it
         # wholesale.
-        return jax.jit(fn, donate_argnums=(2,))
+        step = jax.jit(fn, donate_argnums=(2,))
+        _PROGRAM_MEMO[memo_key] = step
+        return step
 
     temp = float(sample.get("temperature", 0.0))
     top_k = int(sample.get("top_k", 0))
@@ -371,7 +394,9 @@ def make_sharded_decode_step(mesh: Mesh, cfg: ModelConfig,
         in_specs=(specs_p, P("data"), cspecs, P("data"), P()),
         out_specs=(P("data"), cspecs),
     )
-    return jax.jit(fn, donate_argnums=(2,))
+    step = jax.jit(fn, donate_argnums=(2,))
+    _PROGRAM_MEMO[memo_key] = step
+    return step
 
 
 def make_sharded_prefill_step(mesh: Mesh, cfg: ModelConfig,
@@ -401,17 +426,21 @@ def make_sharded_prefill_step(mesh: Mesh, cfg: ModelConfig,
     bitwise-neutral and the caches stay bit-identical to the single-host
     batched prefill when tp == 1 (asserted in tests/test_parallel.py).
     """
-    tp = mesh.shape["model"]
-    ep = mesh.shape["expert"]
     dp = mesh.shape["data"]
-    local_heads = cfg.num_heads // tp
-    local_experts = cfg.num_experts // ep
-    tp_kv = tp_kv_sharding(mesh, cfg)
     S = n_slots
     S_local = -(-S // dp)          # rows computed per dp shard; the
     # implicit dp·S_local ≥ S pad rows reappear in every all_gather and
     # are sliced off with [:S].
     metrics.gauge("engine.prefill_rows_per_shard", S_local)
+    memo_key = ("prefill", mesh, cfg, bucket, n_slots)
+    hit = _PROGRAM_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    tp = mesh.shape["model"]
+    ep = mesh.shape["expert"]
+    local_heads = cfg.num_heads // tp
+    local_experts = cfg.num_experts // ep
+    tp_kv = tp_kv_sharding(mesh, cfg)
 
     def local_prefill(params, caches, tokens, slots, true_lens):
         local_slots = caches[0].k_q.shape[0]
@@ -524,4 +553,6 @@ def make_sharded_prefill_step(mesh: Mesh, cfg: ModelConfig,
                   P(None), P(), P()),
         out_specs=(P(None), [cspec for _ in range(cfg.num_layers)]),
     )
-    return jax.jit(fn, donate_argnums=(1,))
+    run = jax.jit(fn, donate_argnums=(1,))
+    _PROGRAM_MEMO[memo_key] = run
+    return run

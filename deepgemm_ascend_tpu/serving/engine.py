@@ -36,6 +36,63 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_decode_step(cfg: ModelConfig):
+    """One compiled single-device decode program per ModelConfig, shared
+    across Engine instances — an engine restart (or a test suite that
+    builds dozens of engines) must not re-trace/recompile an identical
+    program. Cleared via :func:`clear_program_cache`."""
+    return jax.jit(functools.partial(decode_step, cfg=cfg),
+                   donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_prefill(cfg: ModelConfig, max_slots: int, bucket: int,
+                    s_pad: int):
+    """Batched-admission prefill program, memoized per
+    (cfg, max_slots, bucket, S): run up to S prompts through the model in
+    ONE dispatch and merge their cache rows back into the global caches
+    (dispatch count O(buckets), not O(prompts)). Rows with slot < 0 are
+    padding: their scatter index is pushed out of bounds and dropped."""
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, caches, tokens, true_lens, slots):
+        # tokens: (S, bucket) padded prompts; slots: (S,) int32, -1 pad.
+        valid = slots >= 0
+        idx_r = jnp.clip(slots, 0, max_slots - 1)
+        sub = [KVCache(k_q=c.k_q[idx_r], k_s=c.k_s[idx_r],
+                       v_q=c.v_q[idx_r], v_s=c.v_s[idx_r])
+               for c in caches]
+        pos = jnp.broadcast_to(jnp.arange(bucket, dtype=jnp.int32)[None],
+                               (s_pad, bucket))
+        logits, sub = forward(params, tokens, sub, pos, true_lens, cfg,
+                              prefill_start=jnp.zeros((s_pad,), jnp.int32))
+        # Padding rows (and only they) scatter out of bounds → dropped.
+        # Valid slots are distinct, so the scatter has no duplicates.
+        w_idx = jnp.where(valid, slots, max_slots)
+        merged = [
+            KVCache(k_q=c.k_q.at[w_idx].set(s.k_q, mode="drop"),
+                    k_s=c.k_s.at[w_idx].set(s.k_s, mode="drop"),
+                    v_q=c.v_q.at[w_idx].set(s.v_q, mode="drop"),
+                    v_s=c.v_s.at[w_idx].set(s.v_s, mode="drop"))
+            for c, s in zip(caches, sub)]
+        # next-token logits at each row's last REAL prompt position
+        last = jnp.take_along_axis(
+            logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
+        return last, merged
+
+    return prefill
+
+
+def clear_program_cache() -> None:
+    """Drop ALL memoized compiled programs (single-device + mesh) — for
+    tests that assert trace-time metrics counters and need a rebuild."""
+    from ..parallel import sharded as _sh
+    _jitted_decode_step.cache_clear()
+    _jitted_prefill.cache_clear()
+    _sh.clear_program_memo()
+
+
 def sample_logits(logits: jax.Array, key, *, temperature: float = 0.0,
                   top_k: int = 0, top_p: float = 1.0) -> jax.Array:
     """Greedy (temperature 0) or temperature sampling with optional top-k /
@@ -125,11 +182,11 @@ class Engine:
         else:
             self.params = params
             self.caches = init_cache(cfg, max_slots, self.max_seq_len)
-            # Donate the caches: the multi-layer int8 KV pytree is updated
-            # functionally every step — without donation XLA keeps two full
-            # copies and re-writes GBs per token.
-            self._decode = jax.jit(functools.partial(decode_step, cfg=cfg),
-                                   donate_argnums=(2,))
+            # Donated caches (the multi-layer int8 KV pytree is updated
+            # functionally every step — without donation XLA keeps two
+            # full copies and re-writes GBs per token); the jitted program
+            # itself is memoized per cfg (_jitted_decode_step).
+            self._decode = _jitted_decode_step(cfg)
 
         self.seq_lens = jnp.zeros((max_slots,), jnp.int32)
         self.last_tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -177,46 +234,9 @@ class Engine:
 
     # -- prefill -------------------------------------------------------------
     def _prefill_fn(self, bucket: int, s_pad: int):
-        """Jitted per (bucket, S): run up to S prompts through the model in
-        ONE dispatch and merge their cache rows back into the global caches
-        (batched admission — dispatch count O(buckets), not O(prompts)).
-        Rows with slot < 0 are padding: their scatter index is pushed out
-        of bounds and dropped."""
-        key = (bucket, s_pad)
-        if key in self._prefill_cache:
-            return self._prefill_cache[key]
-        cfg = self.cfg
-        max_slots = self.max_slots
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill(params, caches, tokens, true_lens, slots):
-            # tokens: (S, bucket) padded prompts; slots: (S,) int32, -1 pad.
-            valid = slots >= 0
-            idx_r = jnp.clip(slots, 0, max_slots - 1)
-            sub = [KVCache(k_q=c.k_q[idx_r], k_s=c.k_s[idx_r],
-                           v_q=c.v_q[idx_r], v_s=c.v_s[idx_r])
-                   for c in caches]
-            pos = jnp.broadcast_to(jnp.arange(bucket, dtype=jnp.int32)[None],
-                                   (s_pad, bucket))
-            logits, sub = forward(params, tokens, sub, pos, true_lens, cfg,
-                                  prefill_start=jnp.zeros((s_pad,),
-                                                          jnp.int32))
-            # Padding rows (and only they) scatter out of bounds → dropped.
-            # Valid slots are distinct, so the scatter has no duplicates.
-            w_idx = jnp.where(valid, slots, max_slots)
-            merged = [
-                KVCache(k_q=c.k_q.at[w_idx].set(s.k_q, mode="drop"),
-                        k_s=c.k_s.at[w_idx].set(s.k_s, mode="drop"),
-                        v_q=c.v_q.at[w_idx].set(s.v_q, mode="drop"),
-                        v_s=c.v_s.at[w_idx].set(s.v_s, mode="drop"))
-                for c, s in zip(caches, sub)]
-            # next-token logits at each row's last REAL prompt position
-            last = jnp.take_along_axis(
-                logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
-            return last, merged
-
-        self._prefill_cache[key] = prefill
-        return prefill
+        """Batched-admission prefill program for (bucket, S) — memoized
+        globally per (cfg, max_slots, bucket, S), see _jitted_prefill."""
+        return _jitted_prefill(self.cfg, self.max_slots, bucket, s_pad)
 
     def _mesh_prefill_fn(self, bucket: int, s_pad: int):
         """Jitted per (bucket, S): one-dispatch sharded prefill under

@@ -45,6 +45,10 @@ OP_META = {
     "grouped_gemm_masked": (1, 2, V5E_PEAK),
     "grouped_gemm_nt": (1, 2, V5E_PEAK),
     "grouped_gemm_masked_nt": (1, 2, V5E_PEAK),
+    # int8 feeds the MXU at the full int8 rate (2× bf16/fp8).
+    "int8_gemm": (1, 2, 394e12),
+    "int8_grouped_gemm": (1, 2, 394e12),
+    "int8_grouped_gemm_masked": (1, 2, 394e12),
 }
 OP_ALIASES = {"grouped_masked": "grouped_gemm_masked"}
 

@@ -129,6 +129,8 @@ def test_tp_kv_sharded_flash_decode_matches_and_traces(setup):
     shard_shape = sharding.shard_shape(c_sh[0].k_q.shape)
     assert shard_shape[1] == cfg.num_kv_heads // 2
 
+    from deepgemm_ascend_tpu.serving.engine import clear_program_cache
+    clear_program_cache()   # trace-time counters need a fresh build
     metrics.reset()
     step = make_sharded_decode_step(mesh, cfg, params)
     logits, caches = step(p_sh, toks, c_sh, lens)
@@ -162,6 +164,8 @@ def test_mesh_prefill_matches_single_host(setup, dp, ep, tp):
     from deepgemm_ascend_tpu.utils.logging import metrics
     cfg, params = setup
     prompt = [(i * 7 + 3) % cfg.vocab_size for i in range(24)]  # bucket 32
+    from deepgemm_ascend_tpu.serving.engine import clear_program_cache
+    clear_program_cache()   # flash_prefill_trace asserts trace-time counts
     eng1 = Engine(params, cfg, max_slots=4, max_seq_len=64)
     mesh = make_mesh(dp=dp, ep=ep, tp=tp)
     eng2 = Engine(params, cfg, max_slots=4, max_seq_len=64, mesh=mesh)

@@ -169,7 +169,9 @@ def test_engine_mesh_mode_generates(model):
 
 def test_metrics_counters_move(model):
     from deepgemm_ascend_tpu.utils.logging import metrics
+    from deepgemm_ascend_tpu.serving.engine import clear_program_cache
     cfg, params = model
+    clear_program_cache()   # tiling cache_miss/hit fire at trace time
     metrics.reset()
     Engine(params, cfg, max_slots=1, max_seq_len=64).generate(
         [[1, 2]], max_new_tokens=3)
