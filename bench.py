@@ -160,7 +160,12 @@ def main() -> int:
         s = str(e)
         return any(tok in s for tok in
                    ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Connection",
-                    "connection", "socket", "Socket"))
+                    "connection", "socket", "Socket", "has been deleted"))
+
+    # Host-side copies: clear_backends() invalidates every device array,
+    # so the retry path must re-upload from host data, not reuse handles
+    # created on the destroyed backend (self-review r4).
+    host = tuple(np.asarray(x) for x in (a_q, a_s, b_q, bse))
 
     last_err = None
     for cfg in candidates:
@@ -190,6 +195,12 @@ def main() -> int:
                     break
                 if attempt == 1:
                     _reinit_backend()
+                    # Re-upload inputs: the old device arrays died with
+                    # the cleared backend.
+                    try:
+                        a_q, a_s, b_q, bse = (jnp.asarray(x) for x in host)
+                    except Exception as up_err:
+                        log(f"[bench] re-upload failed: {str(up_err)[:80]}")
         if last_err is not None and _is_transport(last_err):
             log("[bench] transport looks dead after retry — stopping early "
                 "with partial results")

@@ -306,6 +306,15 @@ def m_grouped_int8_gemm_contiguous(
     if m % cfg.block_m:
         raise ValueError(f"M_total={m} not a multiple of block_m="
                          f"{cfg.block_m}")
+    # The layout fixed the tile->expert mapping at its own block_m: a
+    # config whose block_m disagrees would silently misindex (or read out
+    # of bounds of) the scalar-prefetch expert map — same guard as the
+    # fp8 twin (grouped_gemm.py).
+    ntiles = m // cfg.block_m
+    if jnp.shape(tile_group_ids) != (ntiles,):
+        raise ValueError(f"tile_group_ids must be ({ntiles},) for "
+                         f"block_m={cfg.block_m}, got "
+                         f"{jnp.shape(tile_group_ids)}")
     if interpret is None:
         interpret = _interpret_default()
     return _int8_grouped_contiguous_call(

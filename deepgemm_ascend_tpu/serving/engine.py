@@ -190,7 +190,6 @@ class Engine:
 
         self.seq_lens = jnp.zeros((max_slots,), jnp.int32)
         self.last_tokens = jnp.zeros((max_slots,), jnp.int32)
-        self._prefill_cache: dict = {}
         self._mesh_prefill_cache: dict = {}
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
                       "decode_tokens": 0, "decode_time_s": 0.0,

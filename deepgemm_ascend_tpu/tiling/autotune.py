@@ -112,7 +112,12 @@ class Autotuner:
         (full re-measurement of completed sweeps) and the poisoned-config
         marker (crash loop on the poisoned candidate)."""
         try:
-            config = GemmConfig.from_dict(config).to_dict()
+            norm = GemmConfig.from_dict(config).to_dict()
+            # Forward-compat: keys from a NEWER schema than this checkout
+            # must stay in the key — dropping them would alias genuinely
+            # different configs onto one record (self-review r4).
+            norm.update({k: v for k, v in config.items() if k not in norm})
+            config = norm
         except (TypeError, ValueError):
             pass  # unparseable legacy record: key it as-is
         return json.dumps(config, sort_keys=True)

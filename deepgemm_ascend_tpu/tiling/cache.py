@@ -116,23 +116,35 @@ class TilingCache:
             self._map.clear()
 
 
-_global_cache: Optional[TilingCache] = None
+_global_caches: dict = {}        # device_kind -> TilingCache
 _global_lock = threading.Lock()
 
 
 def global_cache() -> TilingCache:
-    """Process-wide singleton, ≙ ``Cache::TilingCache::Instance``
-    (`cache.cpp:22-27`)."""
-    global _global_cache
+    """Process-wide singleton PER DEVICE KIND, ≙
+    ``Cache::TilingCache::Instance`` (`cache.cpp:22-27`).
+
+    Keyed on the detected device so a mid-process ``DGA_DEVICE`` change
+    (platform.detect re-reads it, advisor r3) gets a fresh instance
+    preloading THAT device's packaged tilings — entries resolved under
+    the previous device's envelope can no longer be served as cache hits
+    (self-review r4). Cache keys inside one instance stay device-less:
+    the on-disk jsonl format is shared with the packaged per-device
+    tables (``tilings_<device>.jsonl``), which are device-scoped by file.
+    """
+    from . import platform as plat
+    kind = plat.detect().device_kind
     with _global_lock:
-        if _global_cache is None:
-            _global_cache = TilingCache(preload_packaged=True)
-        return _global_cache
+        inst = _global_caches.get(kind)
+        if inst is None:
+            inst = _global_caches[kind] = TilingCache(preload_packaged=True)
+        return inst
 
 
 def reset_global_cache(path: Optional[str] = None) -> TilingCache:
-    """Re-create the singleton (tests / env change)."""
-    global _global_cache
+    """Re-create the current device's singleton (tests / env change)."""
+    from . import platform as plat
+    kind = plat.detect().device_kind
     with _global_lock:
-        _global_cache = TilingCache(path)
-        return _global_cache
+        inst = _global_caches[kind] = TilingCache(path)
+        return inst

@@ -33,8 +33,11 @@ cand = MLPWeights.load("/tmp/predictor_fp8_gemm_candidate.npz")
 po = cand.meta.get("holdout_pick_oracle")
 wr = cand.meta.get("holdout_winrate")
 # Packaged fp8_gemm checkpoint's documented holdout: 1.07 / 0.56
-# (README/ad4be61). Replace only on a strict improvement on BOTH axes.
-if po is not None and wr is not None and po <= 1.07 and wr >= 0.56:
+# (README/ad4be61). Replace only when at least as good on BOTH axes AND
+# strictly better on one — a statistical tie (different random holdout
+# split) must not churn the proven checkpoint.
+if (po is not None and wr is not None and po <= 1.07 and wr >= 0.56
+        and (po < 1.07 or wr > 0.56)):
     import shutil
     shutil.copy("/tmp/predictor_fp8_gemm_candidate.npz",
                 "deepgemm_ascend_tpu/data/predictor_fp8_gemm.npz")

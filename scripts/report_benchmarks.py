@@ -117,10 +117,14 @@ def main(argv=None) -> int:
         matches = [r for r in recs if blocks(r) == nat_blocks
                    and r["config"].get("k_split", 1) == nat_ks
                    and r["config"].get("expert_coalesce", 1) == 1]
-        # k_split variants were never swept; fall back to a blocks-only
-        # match rather than dropping the baseline column.
+        # k_split variants were never swept; fall back to a k_split-
+        # agnostic match rather than dropping the baseline column — but
+        # NEVER to an ec>1 record (a scheduling variant the analytic tier
+        # cannot choose; crediting its time to "analytic" would skew the
+        # learned-vs-analytic comparison this column exists for).
         if not matches:
-            matches = [r for r in recs if blocks(r) == nat_blocks]
+            matches = [r for r in recs if blocks(r) == nat_blocks
+                       and r["config"].get("expert_coalesce", 1) == 1]
         if matches:
             analytic_pick[key] = min(matches, key=lambda r: r["time_s"])
 

@@ -20,10 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 OP_ALIASES = {"grouped_masked": "grouped_gemm_masked"}
 
 
-def _is_fp8_op(op):
-    # bf16 dense ops: "gemm" and its storage layouts; everything else in
-    # the suite (fp8_gemm*, grouped_*) is fp8 e4m3.
-    return not op.startswith("gemm")
+def _op_numerics(op):
+    """(a_itemsize, out_itemsize, in_dtype) per op — drives the analytic
+    anchors in winrate_report. int8 ops price compute at the 394-TOPS MXU
+    int8 rate; pricing them as fp8 (self-review r4) would halve the
+    compute bound and mis-score the roofline-guard declines."""
+    import jax.numpy as jnp
+    if op.startswith("int8"):
+        return 1, 2, jnp.int8
+    if op.startswith("gemm"):
+        return 2, 4, jnp.bfloat16
+    return 1, 2, jnp.float8_e4m3fn   # fp8_gemm*, grouped_*
 
 
 def _load_grouped(paths, op_filter=None):
@@ -99,9 +106,7 @@ def winrate_report(weights, groups, *, strategies=("greedy", "topk_median",
     for (op, m, n, k), recs in groups.items():
         if len(recs) < 4:
             continue
-        fp8 = _is_fp8_op(op)
-        a_i, o_i = (1, 2) if fp8 else (2, 4)
-        in_dt = jnp.float8_e4m3fn if fp8 else jnp.bfloat16
+        a_i, o_i, in_dt = _op_numerics(op)
         nat = analytic.get_best_config(m, n, k, a_i, a_i, o_i, op=op)
         nat_key = (nat.block_m, nat.block_n, nat.block_k)
         nat_times = [t for bm, bn, bk, t in recs if (bm, bn, bk) == nat_key]
