@@ -488,3 +488,39 @@ def test_autotune_resume_survives_config_schema_extension(tmp_path):
     # poisoned marker is honored (not retried), only the new config runs.
     assert calls == [GemmConfig(512, 128, 128)], calls
     assert win == GemmConfig(128, 128, 128)
+
+
+def test_global_cache_is_device_keyed(monkeypatch):
+    """Self-review r4: a mid-process DGA_DEVICE change must get a fresh
+    singleton preloading THAT device's packaged tilings — the selector
+    tier must not serve configs resolved under the previous device."""
+    monkeypatch.setenv("DGA_DEVICE", "tpu v5e")
+    c_v5e = cache.global_cache()
+    monkeypatch.setenv("DGA_DEVICE", "tpu v5p")
+    c_v5p = cache.global_cache()
+    assert c_v5e is not c_v5p
+    # Same device → same instance (entries persist within a device).
+    monkeypatch.setenv("DGA_DEVICE", "tpu v5e")
+    assert cache.global_cache() is c_v5e
+    # The v5e instance preloaded the packaged v5e table; v5p has no
+    # packaged file, so the headline key exists only on v5e.
+    key = cache.cache_key("fp8_gemm", 4096, 4096, 4096,
+                          "float8_e4m3fn", "bfloat16")
+    if c_v5e.get(key) is not None:       # packaged table present
+        assert c_v5p.get(key) is None
+
+
+def test_cfg_key_keeps_unknown_newer_schema_fields():
+    """Forward-compat (self-review r4): records written by a NEWER config
+    schema must not alias onto this checkout's configs — unknown keys
+    stay in the key."""
+    base = GemmConfig(128, 128, 128).to_dict()
+    newer = dict(base, future_knob=7)
+    k_base = autotune.Autotuner._cfg_key(base)
+    k_newer = autotune.Autotuner._cfg_key(newer)
+    assert k_base != k_newer
+    # ...while the BACKWARD direction still normalizes: an old record
+    # missing expert_coalesce hashes like today's default.
+    old = dict(base)
+    old.pop("expert_coalesce")
+    assert autotune.Autotuner._cfg_key(old) == k_base
