@@ -449,8 +449,6 @@ def fp8_gemm(
         raise ValueError("b_layout='t' requires unexpanded (n/128, k/128) "
                          "b_scales — the expanded panel layout is "
                          "kernel-internal")
-    if b_t and auto_pad:
-        raise ValueError("auto_pad supports the 'n' layout only")
     n_b = b_q.shape[0] if b_t else b_q.shape[1]
     if _exact:
         if b_t:
@@ -472,13 +470,18 @@ def fp8_gemm(
                          "helper re-expands them; pass b_scales_expanded="
                          "False)")
     if auto_pad and not b_scales_expanded:
-        from ..tiling.padding import pad_fp8_operands
-        a_q, a_scales, b_q, b_scales, n_orig = pad_fp8_operands(
-            a_q, a_scales, b_q, b_scales)
+        if b_t:
+            from ..tiling.padding import pad_fp8_operands_nt
+            a_q, a_scales, b_q, b_scales, n_orig = pad_fp8_operands_nt(
+                a_q, a_scales, b_q, b_scales)
+        else:
+            from ..tiling.padding import pad_fp8_operands
+            a_q, a_scales, b_q, b_scales, n_orig = pad_fp8_operands(
+                a_q, a_scales, b_q, b_scales)
         out = fp8_gemm(a_q, a_scales, b_q, b_scales, out_dtype=out_dtype,
                        config=config, interpret=interpret,
                        mxu_dtype=mxu_dtype, scale_mode=scale_mode,
-                       allow_relaxed=allow_relaxed)
+                       allow_relaxed=allow_relaxed, b_layout=b_layout)
         return out[:, :n_orig]
     m, k = a_q.shape
     n = n_b

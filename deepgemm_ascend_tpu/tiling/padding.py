@@ -171,3 +171,35 @@ def pad_fp8_operands(
     if any(p for pair in pads for p in pair):
         b_scales = jnp.pad(b_scales, pads, constant_values=1.0)
     return a_q, a_scales, b_q, b_scales, n
+
+
+def pad_fp8_operands_nt(
+    a_q: jax.Array, a_scales: jax.Array,
+    bt_q: jax.Array, bt_scales: jax.Array,
+    block: int = 128,
+):
+    """NT twin of :func:`pad_fp8_operands`: B stored (n, k) with
+    (n/128, k/128) block scales (DeepGEMM's native layout) — padded
+    in-place in that layout, no HBM transpose. Same zero-value /
+    one-scale discipline; returns ``(a_q, a_scales, bt_q, bt_scales,
+    n_orig)``."""
+    m, k = a_q.shape
+    n, k2 = bt_q.shape
+    if k != k2:
+        raise ValueError(f"inner dims mismatch: {a_q.shape} @ "
+                         f"{bt_q.shape} (NT)")
+    k_pad, n_pad = round_up(k, block), round_up(n, block)
+    kb_pad, nb_pad = k_pad // block, n_pad // block
+    if k_pad != k:
+        a_q = jnp.pad(a_q, ((0, 0), (0, k_pad - k)))
+    if k_pad != k or n_pad != n:
+        bt_q = jnp.pad(bt_q, ((0, n_pad - n), (0, k_pad - k)))
+    if a_scales.shape[1] < kb_pad:
+        a_scales = jnp.pad(
+            a_scales, ((0, 0), (0, kb_pad - a_scales.shape[1])),
+            constant_values=1.0)
+    pads = ((0, nb_pad - bt_scales.shape[0]),
+            (0, kb_pad - bt_scales.shape[1]))
+    if any(p for pair in pads for p in pair):
+        bt_scales = jnp.pad(bt_scales, pads, constant_values=1.0)
+    return a_q, a_scales, bt_q, bt_scales, n

@@ -148,3 +148,26 @@ def test_fp8_gemm_ragged_without_auto_pad_raises(rng):
     b_s = jnp.ones((2, 1), jnp.float32)
     with pytest.raises(ValueError):
         fp8mod.fp8_gemm(a_q, a_s, b_q, b_s, interpret=True)
+
+
+def test_fp8_gemm_nt_auto_pad_matches_reference(rng):
+    """NT-layout auto_pad (round 4): DeepGEMM's native (n, k) K-major
+    weights padded IN their layout — no HBM transpose — must match the
+    scale-preserving padded golden."""
+    m, k, n = 32, 200, 250  # both ragged
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    wt = rng.normal(size=(n, k)).astype(np.float32)   # (n, k) storage
+    a_q, a_s = quant.quantize_fp8_act(jnp.asarray(x))
+    bt_q, bt_s = quant.quantize_fp8_weight(jnp.asarray(wt))
+    out = fp8mod.fp8_gemm(a_q, a_s, bt_q, bt_s, auto_pad=True,
+                          b_layout="t", config=GemmConfig(32, 128, 128),
+                          interpret=True)
+    assert out.shape == (m, n)
+    aq_p, as_p, bq_p, bs_p, _ = padding.pad_fp8_operands_nt(
+        a_q, a_s, bt_q, bt_s)
+    ref = reference.fp8_gemm_reference(
+        np.asarray(aq_p), np.asarray(as_p),
+        np.asarray(bq_p).T, np.asarray(bs_p).T)[:, :n]
+    res = verify.verify(np.asarray(out, np.float32), ref,
+                        rtol=1e-2, atol=1e-2, max_ratio=1e-4)
+    assert res.ok, res
