@@ -278,3 +278,54 @@ def test_batched_admission_mesh_matches_single_host(model):
     assert snap.get("engine.prefill_rows_per_shard") == 2, snap
     for rid, mid in zip(rids, ids):
         assert ref_first[rid][0] == out[mid][0], (rid, mid)
+
+
+def test_prefix_cache_exact_repeat_and_shared_prefix(model):
+    """Prefix caching (round 4): a stored 16-grain prefix is reused —
+    the engine copies cached KV rows and prefills only the suffix window
+    — and outputs must match a cache-less engine token-for-token (per-row
+    causal math makes the reuse value-exact)."""
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = model
+    sys_prompt = [(i * 11 + 2) % cfg.vocab_size for i in range(20)]
+    p1 = sys_prompt + [7, 8]
+    p2 = sys_prompt + [9]        # shares the 16-token grain with p1
+
+    cold = Engine(params, cfg, max_slots=1, max_seq_len=64)
+    ref1 = cold.generate([p1], max_new_tokens=4)[0]
+    ref2 = cold.generate([p2], max_new_tokens=4)[0]
+
+    metrics.reset()
+    eng = Engine(params, cfg, max_slots=1, max_seq_len=64,
+                 prefix_cache_slots=2)
+    out1 = eng.generate([p1], max_new_tokens=4)[0]      # cold: inserts
+    out1b = eng.generate([p1], max_new_tokens=4)[0]     # exact repeat
+    out2 = eng.generate([p2], max_new_tokens=4)[0]      # shared prefix
+    assert out1 == ref1
+    assert out1b == ref1
+    assert out2 == ref2
+    snap = metrics.snapshot()
+    assert snap.get("engine.prefix_inserts", 0) >= 1, snap
+    assert snap.get("engine.prefix_hits", 0) == 2, snap
+    assert snap.get("engine.prefix_tokens_reused", 0) == 32, snap  # 2×16
+
+
+def test_prefix_cache_lru_eviction(model):
+    """With one store slot, a second distinct prefix evicts the first."""
+    from deepgemm_ascend_tpu.utils.logging import metrics
+    cfg, params = model
+    pa = [(i * 3 + 1) % cfg.vocab_size for i in range(18)]
+    pb = [(i * 5 + 4) % cfg.vocab_size for i in range(18)]
+    metrics.reset()
+    eng = Engine(params, cfg, max_slots=1, max_seq_len=64,
+                 prefix_cache_slots=1)
+    ra = eng.generate([pa], max_new_tokens=2)[0]   # insert A
+    eng.generate([pb], max_new_tokens=2)           # evicts A, inserts B
+    out_a = eng.generate([pa], max_new_tokens=2)[0]  # A was evicted: miss
+    snap = metrics.snapshot()
+    assert snap.get("engine.prefix_hits", 0) == 0, snap
+    assert out_a == ra                 # miss path still correct
+    # ... and that miss re-inserted A (evicting B): the repeat now hits.
+    out_a2 = eng.generate([pa], max_new_tokens=2)[0]
+    assert metrics.snapshot().get("engine.prefix_hits", 0) == 1
+    assert out_a2 == ra
