@@ -26,6 +26,7 @@ bash scripts/post_sweep_r4.sh >> post_sweep_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) straggler+layer done; serving benches" >> $STATE
 python scripts/serve_bench.py --mode chunksweep > serve_chunksweep_r4.log 2>&1
 python scripts/serve_bench.py --mode mixed > serve_mixed_r4.log 2>&1
+python scripts/serve_bench.py --mode prefix --max-seq 1024 > serve_prefix_r4.log 2>&1
 echo "$(date -u +%H:%M:%S) serving benches done; aot check" >> $STATE
 # Real-Mosaic validation of the round-4 dp-sharded prefill program (the
 # CPU dryrun is interpret-mode; this catches lane/layout rejections).
