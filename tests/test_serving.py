@@ -310,6 +310,8 @@ def test_prefix_cache_exact_repeat_and_shared_prefix(model):
     assert snap.get("engine.prefix_tokens_reused", 0) == 32, snap  # 2×16
 
 
+@pytest.mark.slow  # store bookkeeping variant; the default-suite prefix
+# test already covers hit/insert/correctness — this adds LRU specifics.
 def test_prefix_cache_lru_eviction(model):
     """With one store slot, a second distinct prefix evicts the first."""
     from deepgemm_ascend_tpu.utils.logging import metrics
