@@ -92,9 +92,11 @@ def _jitted_prefill(cfg: ModelConfig, max_slots: int, bucket: int,
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_cache_rows(dst, src, dst_idx, src_idx):
-    """Copy one batch row (every layer, values + scales) src[src_idx] →
-    dst[dst_idx]. Used in both directions between the engine's slot
-    caches and the prefix store; dst is donated (pure row update)."""
+    """Copy batch rows (every layer, values + scales) src[src_idx] →
+    dst[dst_idx] — scalar or VECTOR indices (one dispatch for a whole
+    admission group's hits; dst indices are distinct slots). Used in both
+    directions between the engine's slot caches and the prefix store;
+    dst is donated (pure row update)."""
     return [KVCache(k_q=d.k_q.at[dst_idx].set(s.k_q[src_idx]),
                     k_s=d.k_s.at[dst_idx].set(s.k_s[src_idx]),
                     v_q=d.v_q.at[dst_idx].set(s.v_q[src_idx]),
@@ -315,36 +317,46 @@ class Engine:
             return 0, None
         L = ((len(prompt) - 1) // 16) * 16
         while L >= 16:
-            ent = self._prefix_map.get(tuple(prompt[:L]))
+            key = tuple(prompt[:L])
+            ent = self._prefix_map.get(key)
             if ent is not None:
-                self._prefix_map.move_to_end(tuple(prompt[:L]))
-                # Window safety: the suffix window must fit the cache
-                # extent; fall back to a cold prefill otherwise.
+                # Window safety BEFORE the LRU promotion: a hit this shape
+                # cannot use must not displace genuinely reusable entries.
                 if L + -(-(len(prompt) - L) // 16) * 16 <= self.max_seq_len:
+                    self._prefix_map.move_to_end(key)
                     return L, ent
                 return 0, None
             L -= 16
         return 0, None
 
-    def _prefix_insert(self, prompt, slot: int) -> None:
-        """Store this slot's freshly prefilled KV prefix (LRU evict)."""
-        if not self._prefix_slots:
-            return
-        # Grain: largest multiple of 16 that still leaves ≥1 token — so an
-        # EXACT repeat of this prompt can hit too (lookup needs a suffix).
-        L = ((len(prompt) - 1) // 16) * 16
-        key = tuple(prompt[:L])
-        if L < 16 or key in self._prefix_map:
-            return
-        if self._prefix_free:
-            idx = self._prefix_free.pop()
-        else:
-            _, idx = self._prefix_map.popitem(last=False)   # LRU evict
-        self._prefix_store = _copy_cache_rows(
-            self._prefix_store, self.caches, jnp.int32(idx),
-            jnp.int32(slot))
-        self._prefix_map[key] = idx
-        metrics.inc("engine.prefix_inserts")
+    def _prefix_insert_batch(self, pending) -> None:
+        """Store freshly prefilled KV prefixes for ``pending``
+        (prompt, slot) pairs — ONE batched row-copy dispatch.
+
+        Called only after every hit of the current step has copied its
+        store row out: an LRU eviction here can therefore never clobber
+        an in-flight hit (self-review r4: same-step evict-then-copy
+        produced silently wrong completions)."""
+        dst, src = [], []
+        for prompt, slot in pending:
+            # Grain: largest multiple of 16 that still leaves ≥1 token —
+            # so an EXACT repeat can hit too (lookup needs a suffix).
+            L = ((len(prompt) - 1) // 16) * 16
+            key = tuple(prompt[:L])
+            if L < 16 or key in self._prefix_map:
+                continue
+            if self._prefix_free:
+                idx = self._prefix_free.pop()
+            else:
+                _, idx = self._prefix_map.popitem(last=False)  # LRU evict
+            self._prefix_map[key] = idx
+            dst.append(idx)
+            src.append(slot)
+        if dst:
+            self._prefix_store = _copy_cache_rows(
+                self._prefix_store, self.caches,
+                jnp.asarray(dst, jnp.int32), jnp.asarray(src, jnp.int32))
+            metrics.inc("engine.prefix_inserts", len(dst))
 
     def _sample(self, logits: jax.Array) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -368,9 +380,9 @@ class Engine:
         # window.
         prefill_tokens: Dict[int, int] = {}
         groups: Dict[int, list] = {}
+        pending_inserts: list = []
         for adm in sched.admissions():
-            hit_len, store_idx = (self._prefix_lookup(adm.prompt)
-                                  if self._mesh is None else (0, None))
+            hit_len, store_idx = self._prefix_lookup(adm.prompt)
             sfx = len(adm.prompt) - hit_len
             bucket = self._prompt_bucket(sfx)
             if hit_len and hit_len + bucket > self.max_seq_len:
@@ -387,6 +399,7 @@ class Engine:
             last_i = np.zeros((s_pad,), np.int32)
             pstart = np.zeros((s_pad,), np.int32)
             slots = np.full((s_pad,), -1, np.int32)
+            hit_dst, hit_src = [], []
             for i, (adm, hit_len, store_idx) in enumerate(group):
                 sfx_toks = adm.prompt[hit_len:]
                 toks[i, :len(sfx_toks)] = sfx_toks
@@ -398,11 +411,16 @@ class Engine:
                     # Seed the slot with the stored prefix rows (suffix
                     # prefill overwrites [hit, hit+bucket); later rows are
                     # rewritten by decode before they are ever attended).
-                    self.caches = _copy_cache_rows(
-                        self.caches, self._prefix_store,
-                        jnp.int32(adm.slot), jnp.int32(store_idx))
+                    hit_dst.append(adm.slot)
+                    hit_src.append(store_idx)
                     metrics.inc("engine.prefix_hits")
                     metrics.inc("engine.prefix_tokens_reused", hit_len)
+            if hit_dst:
+                # ONE batched row-copy dispatch for the whole group.
+                self.caches = _copy_cache_rows(
+                    self.caches, self._prefix_store,
+                    jnp.asarray(hit_dst, jnp.int32),
+                    jnp.asarray(hit_src, jnp.int32))
             if self._mesh is not None:
                 run = self._mesh_prefill_fn(bucket, s_pad)
                 last_logits, self.caches = run(
@@ -414,8 +432,9 @@ class Engine:
                     self.params, self.caches, jnp.asarray(toks),
                     jnp.asarray(total), jnp.asarray(last_i),
                     jnp.asarray(pstart), jnp.asarray(slots))
-                for adm, hit_len, _ in group:
-                    self._prefix_insert(adm.prompt, adm.slot)
+                if self._prefix_slots:
+                    pending_inserts.extend(
+                        (adm.prompt, adm.slot) for adm, _, _ in group)
             metrics.inc("engine.prefill_dispatches")
             firsts = np.asarray(self._sample(last_logits))  # (s_pad,)
             # One scatter per array per GROUP (not per admission): the
@@ -438,6 +457,11 @@ class Engine:
                                   hit_len)
                 prefill_tokens[adm.slot] = first_tok
                 emitted.setdefault(adm.req_id, []).append(first_tok)
+        if pending_inserts:
+            # AFTER every group's hits copied their rows out — an LRU
+            # eviction can never clobber an in-flight hit (see
+            # _prefix_insert_batch).
+            self._prefix_insert_batch(pending_inserts)
         if prefill_tokens:
             sched.record_tokens(prefill_tokens)
 

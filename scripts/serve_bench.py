@@ -184,9 +184,11 @@ def _prefix_mode(args):
     (prefix_cache_slots). The warm engine prefills only the per-request
     suffix window (16 tokens here) instead of the full prompt bucket —
     the wall gap is the shared-prefix compute saved; tokens_reused is the
-    exact accounting. Both measurements include one identical
-    dispatch+readback, so the relay's RPC floor cancels in the ratio at
-    chip-scale prompts."""
+    exact accounting. The warm wave costs one prefill dispatch plus ONE
+    batched row-copy dispatch (all hits in a group share it) vs the cold
+    wave's single prefill dispatch — at chip-scale prompts the saved
+    prefill compute dwarfs the one extra RPC round trip, but the
+    reported speedup is conservative by that constant."""
     import jax
 
     from deepgemm_ascend_tpu.models import TINY, V2_LITE, init_params

@@ -331,3 +331,29 @@ def test_prefix_cache_lru_eviction(model):
     out_a2 = eng.generate([pa], max_new_tokens=2)[0]
     assert metrics.snapshot().get("engine.prefix_hits", 0) == 1
     assert out_a2 == ra
+
+
+def test_prefix_cache_same_step_eviction_cannot_clobber_hit(model):
+    """Self-review r4 repro: one step admits a COLD long prompt (its own
+    bucket group) and a prefix-HIT prompt (another group) while the store
+    is full. The cold admission's insert must not evict/overwrite the
+    store row the hit is about to copy — inserts are deferred until every
+    hit of the step copied its rows out."""
+    cfg, params = model
+    sys_p = [(i * 11 + 2) % cfg.vocab_size for i in range(20)]
+    hit_prompt = sys_p + [7]
+    cold_prompt = [(i * 5 + 3) % cfg.vocab_size for i in range(33)]
+
+    ref_hit = Engine(params, cfg, max_slots=2, max_seq_len=64).generate(
+        [hit_prompt], max_new_tokens=3)[0]
+
+    eng = Engine(params, cfg, max_slots=2, max_seq_len=64,
+                 prefix_cache_slots=1)
+    eng.generate([hit_prompt], max_new_tokens=1)    # store sys_p prefix
+    i_cold = eng.scheduler.submit(cold_prompt, 3)
+    i_hit = eng.scheduler.submit(hit_prompt, 3)     # same-step admission
+    while eng.scheduler.has_work:
+        eng.step()
+    eng.scheduler.pop_result(i_cold)
+    out_hit = eng.scheduler.pop_result(i_hit).output
+    assert out_hit == ref_hit
