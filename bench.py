@@ -76,6 +76,15 @@ def _watchdog(seconds: int) -> None:
     _WATCHDOG["timer"] = t
 
 
+def _is_transport(e: Exception) -> bool:
+    """Transport-class error (re-init + retry) vs deterministic rejection
+    (skip the config, keep the backend)."""
+    s = str(e)
+    return any(tok in s for tok in
+               ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Connection",
+                "connection", "socket", "Socket", "has been deleted"))
+
+
 def _reinit_backend() -> None:
     """Best-effort backend re-init between retry attempts."""
     import jax
@@ -156,27 +165,44 @@ def main() -> int:
     # floor noise dominated and inflated results by up to +30%).
     candidates = [GemmConfig(1024, 256, 4096), GemmConfig(512, 512, 4096),
                   GemmConfig(256, 1024, 4096), GemmConfig(512, 1024, 2048)]
-    def _is_transport(e: Exception) -> bool:
-        s = str(e)
-        return any(tok in s for tok in
-                   ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Connection",
-                    "connection", "socket", "Socket", "has been deleted"))
-
     # Host-side copies: clear_backends() invalidates every device array,
     # so the retry path must re-upload from host data, not reuse handles
     # created on the destroyed backend (self-review r4).
     host = tuple(np.asarray(x) for x in (a_q, a_s, b_q, bse))
 
+    def time_one(cfg, inputs):
+        aq, asc, bq, bs = inputs
+        fn = lambda a, s_, b, bse_, c=cfg: fp8mod.fp8_gemm_with_config(
+            a, s_, b, bse_, config=c)
+        t = timing.time_gemm_like(fn, aq, asc, bq, bs, iters=256)
+        return t.tflops(flops)
+
+    def reinit_and_reupload(inputs):
+        _reinit_backend()
+        try:
+            return tuple(jnp.asarray(x) for x in host)
+        except Exception as up_err:
+            log(f"[bench] re-upload failed: {str(up_err)[:80]}")
+            return inputs
+
+    rc = _run_candidates(candidates, (a_q, a_s, b_q, bse), time_one,
+                         reinit_and_reupload, peak)
+    return rc
+
+
+def _run_candidates(candidates, inputs, time_one, reinit, peak) -> int:
+    """Retry/partial-result policy, separated from device plumbing so the
+    flap paths are unit-testable (tests/test_scripts.py): per config, one
+    bounded retry with backend re-init on TRANSPORT-class errors only;
+    deterministic rejections skip the config and keep the live backend;
+    a dead transport stops early; any timed result beats reporting 0.0."""
     last_err = None
     for cfg in candidates:
-        fn = lambda aq, asc, bq, bs, c=cfg: fp8mod.fp8_gemm_with_config(
-            aq, asc, bq, bs, config=c)
         for attempt in (1, 2):
             try:
-                t = timing.time_gemm_like(fn, a_q, a_s, b_q, bse, iters=256)
-                tf = t.tflops(flops)
+                tf = time_one(cfg, inputs)
                 log(f"[bench] {cfg.block_m}x{cfg.block_n}x{cfg.block_k}: "
-                    f"{t.seconds*1e3:.3f} ms = {tf:.1f} TF/s")
+                    f"{tf:.1f} TF/s")
                 if tf > STATE["value"]:
                     STATE["value"] = tf
                     STATE["vs_baseline"] = tf / peak
@@ -194,13 +220,7 @@ def main() -> int:
                     # through the tunnel for nothing).
                     break
                 if attempt == 1:
-                    _reinit_backend()
-                    # Re-upload inputs: the old device arrays died with
-                    # the cleared backend.
-                    try:
-                        a_q, a_s, b_q, bse = (jnp.asarray(x) for x in host)
-                    except Exception as up_err:
-                        log(f"[bench] re-upload failed: {str(up_err)[:80]}")
+                    inputs = reinit(inputs)
         if last_err is not None and _is_transport(last_err):
             log("[bench] transport looks dead after retry — stopping early "
                 "with partial results")

@@ -127,3 +127,63 @@ def test_publish_tilings_screens_implausible_records(tmp_path):
     rows = [json.loads(l) for l in out.read_text().splitlines()]
     assert len(rows) == 1
     assert rows[0]["config"]["block_m"] == 512  # the plausible winner
+
+
+def _bench_mod():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_retry_policy_partial_on_transport_flap(capsys):
+    """bench.py VERDICT r3 item 8 'done' criterion: a flap AFTER the
+    correctness gate degrades to the best PARTIAL timing (rc 0 + note),
+    never 0.0; transport errors get ONE re-init+retry; deterministic
+    rejections skip the config without touching the backend."""
+    from deepgemm_ascend_tpu.config import GemmConfig
+    b = _bench_mod()
+    cfgs = [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256),
+            GemmConfig(512, 512, 512)]
+    calls, reinits = [], []
+
+    def time_one(cfg, inputs):
+        calls.append(cfg.block_m)
+        if cfg.block_m == 128:
+            return 100.0
+        if cfg.block_m == 256:
+            raise RuntimeError("Mosaic failed to compile")   # deterministic
+        raise RuntimeError("UNAVAILABLE: socket closed")      # transport
+
+    def reinit(inputs):
+        reinits.append(1)
+        return inputs
+
+    b.STATE.update(value=0.0, vs_baseline=0.0, gate_ok=True, configs=0)
+    rc = b._run_candidates(cfgs, None, time_one, reinit, peak=200.0)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+    line = _json.loads(out)
+    assert rc == 0
+    assert line["value"] == 100.0 and line["vs_baseline"] == 0.5
+    assert "partial: 1/3" in line["note"] and "transport" in line["note"]
+    # deterministic rejection: NO retry, NO re-init; transport: ONE retry
+    assert calls == [128, 256, 512, 512], calls
+    assert reinits == [1], reinits
+
+
+def test_bench_retry_policy_all_failed_is_structured(capsys):
+    from deepgemm_ascend_tpu.config import GemmConfig
+    b = _bench_mod()
+    b.STATE.update(value=0.0, vs_baseline=0.0, gate_ok=True, configs=0)
+
+    def time_one(cfg, inputs):
+        raise RuntimeError("Mosaic failed to compile")
+
+    rc = b._run_candidates([GemmConfig(128, 128, 128)], None, time_one,
+                           lambda i: i, peak=200.0)
+    import json as _json
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and line["value"] == 0.0 and "error" in line
