@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import GemmConfig
+from ..config import GemmConfig, KernelType
 from ..tiling import selector
 from ..utils.common import ceil_div, round_up
 from .gemm import _interpret_default
@@ -249,6 +249,36 @@ def _check_scale_mode(scale_mode: str, allow_relaxed: bool) -> None:
             "f32 accumulator).")
 
 
+def _fp8_gemm_xla(a_q, a_scales, b_q, b_scales_expanded, *, out_dtype, b_t):
+    """XLA-family realization (config.py ``KernelType.XLA``): blocked einsum
+    with the SAME accum-mode scale math as the Pallas kernels — fp8→bf16
+    upcast is exact (e4m3's 3 mantissa bits ⊂ bf16's 7), each 128-deep
+    K-block dot accumulates in f32, and per-block scales multiply the f32
+    partials before the final f32 block sum. Gate-clean (outlier ratio
+    ≤ 1e-4 vs the dequant golden), unlike scale_mode='folded'.
+
+    Materializes a (kb, m, n) f32 partial — intended for the small
+    dispatch-floor-bound shapes the autotuner admits it for
+    (tiling/autotune.py XLA candidate gate), not large GEMMs.
+    """
+    m, k = a_q.shape
+    kb = k // BLOCK
+    n = b_q.shape[0] if b_t else b_q.shape[1]
+    a3 = a_q.reshape(m, kb, BLOCK).astype(jnp.bfloat16)
+    if b_t:
+        b3 = b_q.reshape(n, kb, BLOCK).astype(jnp.bfloat16)
+        partial = jnp.einsum("mbk,nbk->bmn", a3, b3,
+                             preferred_element_type=jnp.float32)
+    else:
+        b3 = b_q.reshape(kb, BLOCK, n).astype(jnp.bfloat16)
+        partial = jnp.einsum("mbk,bkn->bmn", a3, b3,
+                             preferred_element_type=jnp.float32)
+    scaled = (partial
+              * a_scales.astype(jnp.float32).T[:, :, None]
+              * b_scales_expanded[:, None, :])
+    return jnp.sum(scaled, axis=0).astype(out_dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "out_dtype", "interpret", "mxu_dtype",
                               "scale_mode", "allow_relaxed", "b_layout"))
@@ -297,6 +327,10 @@ def fp8_gemm_with_config(
             f"expanded b_scales must be {(kb, n)}, got {b_scales_expanded.shape}")
     if interpret is None:
         interpret = _interpret_default()
+
+    if config.kernel_type == KernelType.XLA:
+        return _fp8_gemm_xla(a_q, a_scales, b_q, b_scales_expanded,
+                             out_dtype=out_dtype, b_t=b_t)
 
     bm = min(config.block_m, round_up(m, 32))   # fp8 sublane = 32
     bn = min(config.block_n, n)

@@ -132,6 +132,14 @@ def gemm_with_config(
     if interpret is None:
         interpret = _interpret_default()
 
+    if config.kernel_type == KernelType.XLA:
+        # XLA family (config.py KernelType.XLA): same contraction, no
+        # Pallas dispatch — wins on dispatch-floor-bound small shapes.
+        dims = (((0 if a_t else 1,), (1 if b_t else 0,)), ((), ()))
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+
     sub_a = _sublane(a.dtype)
     sub_b = _sublane(b.dtype)
     if a_t:

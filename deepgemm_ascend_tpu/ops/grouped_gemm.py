@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import GemmConfig
+from ..config import GemmConfig, KernelType
 from ..tiling import selector
 from ..utils.common import ceil_div, round_up
 from . import fp8_gemm as fp8mod
@@ -128,6 +128,12 @@ def _grouped_contiguous_call(
     else:
         e, _, n = b_q.shape
     kb = k // BLOCK
+    if config.kernel_type == KernelType.XLA:
+        # No XLA realization for the ragged contiguous layout (a dense
+        # segment-matmul would recompute every expert's panel for all rows);
+        # refuse loudly rather than silently running the Pallas path.
+        raise ValueError("KernelType.XLA is not supported for the grouped "
+                         "contiguous layout")
     bm, bn, bk = config.block_m, min(config.block_n, n), min(config.block_k, k)
     if bn % BLOCK or bk % BLOCK:
         raise ValueError(
@@ -337,6 +343,29 @@ def _grouped_masked_call(
     e, m_max, k = a_q.shape
     n = b_q.shape[1] if b_t else b_q.shape[2]
     kb = k // BLOCK
+
+    if config.kernel_type == KernelType.XLA:
+        # XLA family (config.py KernelType.XLA): blocked batched einsum with
+        # the kernels' accum-mode scale math (see _fp8_gemm_xla); rows at or
+        # after masked_m[e] — unspecified by the DeepGEMM contract — are
+        # zeroed per ROW here (the Pallas kernel zeroes per inactive TILE).
+        a4 = a_q.reshape(e, m_max, kb, BLOCK).astype(jnp.bfloat16)
+        if b_t:
+            b4 = b_q.reshape(e, n, kb, BLOCK).astype(jnp.bfloat16)
+            partial = jnp.einsum("embk,enbk->ebmn", a4, b4,
+                                 preferred_element_type=jnp.float32)
+        else:
+            b4 = b_q.reshape(e, kb, BLOCK, n).astype(jnp.bfloat16)
+            partial = jnp.einsum("embk,ebkn->ebmn", a4, b4,
+                                 preferred_element_type=jnp.float32)
+        scaled = (partial
+                  * jnp.moveaxis(a_scales.astype(jnp.float32), 2, 1)[..., None]
+                  * bs_exp[:, :, None, :])
+        y = jnp.sum(scaled, axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e, m_max, 1), 1)
+        return jnp.where(rows < masked_m[:, None, None], y,
+                         0.0).astype(out_dtype)
+
     bm = min(config.block_m, m_max)
     bn, bk = min(config.block_n, n), min(config.block_k, k)
     if bn % BLOCK or bk % BLOCK:

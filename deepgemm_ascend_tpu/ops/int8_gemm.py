@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import GemmConfig, SwizzleDir
+from ..config import GemmConfig, KernelType, SwizzleDir
 from ..tiling import selector
 from ..utils.common import ceil_div, round_up
 from .gemm import _interpret_default
@@ -103,6 +103,15 @@ def int8_gemm_with_config(
         raise ValueError(f"b_scales must be {(1, n)}, got {b_scales.shape}")
     if interpret is None:
         interpret = _interpret_default()
+
+    if config.kernel_type == KernelType.XLA:
+        # XLA family (config.py KernelType.XLA): the int32 K-sum is exact,
+        # so this is BITWISE the Pallas result (identical f32 epilogue).
+        acc = jax.lax.dot_general(a_q, b_q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32)
+                * a_scales.astype(jnp.float32)
+                * b_scales.astype(jnp.float32)).astype(out_dtype)
 
     bm = min(config.block_m, round_up(m, 32))   # int8 sublane = 32
     bn = min(config.block_n, round_up(n, 128))

@@ -34,7 +34,7 @@ from typing import Callable, Iterable, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import GemmConfig
+from ..config import GemmConfig, KernelType
 from ..utils.common import ceil_div
 from . import analytic
 from . import platform as plat
@@ -61,6 +61,31 @@ class SweepResult:
     @classmethod
     def from_json(cls, line: str) -> "SweepResult":
         return cls(**json.loads(line))
+
+
+_XLA_FLOPS_CEILING = 3e10            # ~150 µs at v5e peak — beyond this the
+                                     # Pallas dispatch floor is noise
+_XLA_PARTIAL_BYTES_CEILING = 128e6   # fp8 XLA materializes a (kb, m, n) f32
+
+
+def xla_candidate_ok(op: str, m: int, n: int, k: int,
+                     flops_scale: float = 1.0) -> bool:
+    """Admit the XLA-family candidate (config.py ``KernelType.XLA``)?
+
+    Only ops with an XLA realization (dense + masked grouped; the ragged
+    contiguous layout has none), only in the dispatch-floor-bound small-
+    shape regime where skipping the Pallas prologue can win (VERDICT r3
+    item 4 straggler rows), and only while the fp8/masked blocked
+    realization's (kb, m, n) f32 partial stays modest.
+    """
+    if "contiguous" in op:
+        return False
+    if 2.0 * m * n * k * flops_scale > _XLA_FLOPS_CEILING:
+        return False
+    if op.startswith(("fp8_gemm", "grouped_gemm_masked")):
+        return (flops_scale * (k // 128) * m * n * 4
+                <= _XLA_PARTIAL_BYTES_CEILING)
+    return True
 
 
 class Autotuner:
@@ -242,6 +267,14 @@ class Autotuner:
                        for c in pruned[:3] for ec in (2, 4)]
                 pruned += [c for c in ecs if c not in pruned]
             candidates = pruned
+
+        # XLA-family candidate: measured like any other config (appended
+        # LAST so resumed sweeps' record indices stay aligned); the publish
+        # path packages it per shape when it wins.
+        if xla_candidate_ok(self._op, m, n, k, flops_scale):
+            xcfg = GemmConfig(kernel_type=KernelType.XLA)
+            if xcfg not in candidates:
+                candidates = list(candidates) + [xcfg]
 
         done = self._load_done()
         poisoned_cfg, poisoned_idx = self._poisoned_marker()

@@ -77,6 +77,10 @@ def load_records(paths):
                 if op not in OP_META:
                     continue
                 c = r["config"]
+                if c.get("kernel_type", 1) == 3:
+                    # XLA-family records ignore their block fields; fitting
+                    # the block-based cost model to them poisons the fit.
+                    continue
                 m, n, k, t = r["m"], r["n"], r["k"], r["time_s"]
                 scale = recmod.flops_scale(r)  # grouped work multiplier E
                 recs.setdefault(op, []).append(

@@ -33,6 +33,10 @@ OP_KEYING = {
     # K-major (DeepGEMM-native) grouped weights — separate runtime keys
     "grouped_gemm_nt": ("float8_e4m3fn", "bfloat16", 128),
     "grouped_gemm_masked_nt": ("float8_e4m3fn", "bfloat16", 128),
+    # W8A8 int8 (per-token × per-channel scales, ops/int8_gemm.py)
+    "int8_gemm": ("int8", "bfloat16", 128),
+    "int8_grouped_gemm": ("int8", "bfloat16", 128),
+    "int8_grouped_gemm_masked": ("int8", "bfloat16", 128),
     # legacy sweep records written before the op-key fix
     "grouped_masked": ("float8_e4m3fn", "bfloat16", 128),
 }

@@ -114,9 +114,13 @@ def main(argv=None) -> int:
             continue
         blocks = lambda r: (r["config"]["block_m"], r["config"]["block_n"],
                             r["config"]["block_k"])
+        # XLA-family records ignore their block fields — never credit one
+        # to the analytic tier even when the stored blocks coincide.
+        not_xla = lambda r: r["config"].get("kernel_type", 1) != 3
         matches = [r for r in recs if blocks(r) == nat_blocks
                    and r["config"].get("k_split", 1) == nat_ks
-                   and r["config"].get("expert_coalesce", 1) == 1]
+                   and r["config"].get("expert_coalesce", 1) == 1
+                   and not_xla(r)]
         # k_split variants were never swept; fall back to a k_split-
         # agnostic match rather than dropping the baseline column — but
         # NEVER to an ec>1 record (a scheduling variant the analytic tier
@@ -124,7 +128,8 @@ def main(argv=None) -> int:
         # learned-vs-analytic comparison this column exists for).
         if not matches:
             matches = [r for r in recs if blocks(r) == nat_blocks
-                       and r["config"].get("expert_coalesce", 1) == 1]
+                       and r["config"].get("expert_coalesce", 1) == 1
+                       and not_xla(r)]
         if matches:
             analytic_pick[key] = min(matches, key=lambda r: r["time_s"])
 
@@ -158,9 +163,11 @@ def main(argv=None) -> int:
         t_str = f"{t_us/1000:.3f} ms" if t_us >= 1000 else f"{t_us:.1f} us"
         ana = analytic_pick.get(key)
         speedup = (f"{ana['time_s'] / r['time_s']:.2f}×" if ana else "—")
+        cfg_str = ("XLA" if c.get("kernel_type", 1) == 3 else
+                   f"{c['block_m']}×{c['block_n']}×{c['block_k']}")
         lines.append(
             f"| {op} | {m} | {n} | {k} "
-            f"| {c['block_m']}×{c['block_n']}×{c['block_k']} "
+            f"| {cfg_str} "
             f"| {t_str} | {tf:.1f} | {pct:.1f}% | {speedup} "
             f"| {counts[key]} |")
     text = "\n".join(lines) + "\n"

@@ -54,13 +54,16 @@ def _load_grouped(paths, op_filter=None):
                 if not recmod.plausible(r, info):
                     continue  # failed or corrupt-timing record
                 c = r["config"]
-                if c.get("k_split", 1) > 1 or c.get("pad_k"):
+                if (c.get("k_split", 1) > 1 or c.get("pad_k")
+                        or c.get("kernel_type", 1) == 3):
                     # Non-representable in the (bm, bn, bk) feature schema:
                     # a KSPLIT/pad_k record shares its features with the
                     # plain-COMMON record for the same blocks but carries a
                     # different time — contradictory labels that inflate
                     # predictor variance (observed: 9 contradictory block
-                    # triples across the bf16 gemm sweeps).
+                    # triples across the bf16 gemm sweeps). XLA-family
+                    # records (kernel_type 3) ignore their block fields
+                    # entirely — same contradiction.
                     continue
                 op = OP_ALIASES.get(r.get("op", "gemm"), r.get("op", "gemm"))
                 if op_filter and op != op_filter:

@@ -169,6 +169,13 @@ def test_selector_uses_cache_override_and_analytic(tmp_path):
 
 # ---- autotuner (≙ benchmark.py sweep/checkpoint logic) ----
 
+def _nox(cs):
+    """Drop the XLA-family candidate the tuner appends for small shapes
+    (tiling/autotune.py xla_candidate_ok) — these tests assert on the
+    caller-supplied candidate list; test_xla_family.py covers the XLA one."""
+    return [c for c in cs if c.kernel_type != KernelType.XLA]
+
+
 def _mk_tuner(tmp_path, time_map, **kw):
     calls = []
 
@@ -216,10 +223,14 @@ def test_autotune_rejects_faster_than_light(tmp_path):
     # recorded as failed so no argmin can crown them.
     cands = [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256)]
     tuner, calls = _mk_tuner(tmp_path, {(128, 128, 128): 1e-12,
-                                        (256, 256, 256): 1e-12})
+                                        (256, 256, 256): 1e-12,
+                                        # the appended XLA-family candidate
+                                        # (default blocks) is corrupted too
+                                        (256, 256, 512): 1e-12})
     win = tuner.sweep_shape(512, 512, 512, cands)
     assert win is None
-    assert len(calls) == 4  # each config measured twice (one retry)
+    # each config (incl. the appended XLA one) measured twice (one retry)
+    assert len(calls) == 6
     with open(tmp_path / "results.jsonl") as f:
         recs = [autotune.SweepResult.from_json(l) for l in f if l.strip()]
     assert all(r.time_s < 0 and not r.correct for r in recs)
@@ -277,7 +288,7 @@ def test_autotune_resume_skips_done(tmp_path):
     tuner, calls = _mk_tuner(tmp_path, {(128, 128, 128): 0.2,
                                         (256, 256, 256): 0.3})
     tuner.sweep_shape(64, 64, 64, cands)
-    assert len(calls) == 2
+    assert len(_nox(calls)) == 2
     # resume: nothing re-timed
     tuner2, calls2 = _mk_tuner(tmp_path, {(128, 128, 128): 0.2,
                                           (256, 256, 256): 0.3})
@@ -304,13 +315,13 @@ def test_autotune_rank_sharding(tmp_path):
              GemmConfig(64, 128, 128), GemmConfig(64, 256, 128)]
     tuner, calls = _mk_tuner(tmp_path, {}, rank=1, world=2)
     tuner.sweep_shape(16, 16, 16, cands)
-    assert len(calls) == 2  # every other candidate
+    assert len(_nox(calls)) == 2  # every other candidate
 
 
 def test_autotune_max_candidates_prunes(tmp_path):
     tuner, calls = _mk_tuner(tmp_path, {})
     tuner.sweep_shape(512, 512, 512, None, max_candidates=3)
-    assert len(calls) == 3
+    assert len(_nox(calls)) == 3
 
 
 def test_autotune_resume_is_config_keyed_not_index_keyed(tmp_path):
@@ -322,7 +333,7 @@ def test_autotune_resume_is_config_keyed_not_index_keyed(tmp_path):
                GemmConfig(64, 128, 128))
     tuner, calls = _mk_tuner(tmp_path, {(256, 256, 256): 0.1})
     tuner.sweep_shape(512, 512, 512, [A, B])
-    assert calls == [A, B]
+    assert _nox(calls) == [A, B]
     tuner2, calls2 = _mk_tuner(tmp_path, {(64, 128, 128): 0.05})
     win = tuner2.sweep_shape(512, 512, 512, [B, A, C])  # reordered + new
     assert calls2 == [C]            # A and B reused from the jsonl
@@ -340,7 +351,8 @@ def test_autotune_explore_extra_samples_off_prefix(tmp_path):
     tuner2.sweep_shape(512, 512, 512, None, max_candidates=3,
                        explore_extra=4)
     assert len(calls2) > base            # extras actually swept
-    assert calls2[:base] == calls        # prefix order unchanged
+    nx, nx2 = _nox(calls), _nox(calls2)
+    assert nx2[:len(nx)] == nx           # prefix order unchanged
     assert len(set(map(str, calls2))) == len(calls2)  # no duplicates
 
 
@@ -358,7 +370,7 @@ def test_autotuner_retry_failed_reruns_poisoned(tmp_path):
     t1 = autotune.Autotuner(None, failing, op="gemm", results_path=results,
                             cache=cache.TilingCache(None))
     assert t1.sweep_shape(256, 256, 256, candidates=cand) is None
-    assert calls["n"] == 2
+    assert calls["n"] == 3   # 2 candidates + the appended XLA-family one
 
     def working(cfg):
         return 1e-3 if cfg.block_k == 128 else 2e-3
@@ -486,7 +498,7 @@ def test_autotune_resume_survives_config_schema_extension(tmp_path):
     win = tuner.sweep_shape(64, 64, 64, cands)
     # The old-schema record is honored (not re-timed), the old-schema
     # poisoned marker is honored (not retried), only the new config runs.
-    assert calls == [GemmConfig(512, 128, 128)], calls
+    assert _nox(calls) == [GemmConfig(512, 128, 128)], calls
     assert win == GemmConfig(128, 128, 128)
 
 
