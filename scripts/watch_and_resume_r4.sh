@@ -41,6 +41,10 @@ echo "$(date -u +%H:%M:%S) tpu-back" >> $STATE
 
 stage bench 2400 bash -c 'python bench.py > bench_r4_early.json 2> bench_r4_early.log'
 stage instruments 5400 bash -c 'bash scripts/post_sweep_r4.sh >> post_sweep_r4.log 2>&1'
+# Straggler-targeted resumes (cheap: config-keyed resume only measures the
+# NEW ec/XLA candidates) — early so the named sub-85% rows get their fix
+# candidates measured even if a later stage loses the tunnel.
+stage sweep-r4f 7200 bash -c 'bash scripts/sweep_queue_r4f.sh >> autotune_results_r4f_queue.log 2>&1'
 stage serve-chunksweep 2400 bash -c 'python scripts/serve_bench.py --mode chunksweep > serve_chunksweep_r4.log 2>&1'
 stage serve-mixed 2400 bash -c 'python scripts/serve_bench.py --mode mixed > serve_mixed_r4.log 2>&1'
 stage serve-prefix 2400 bash -c 'python scripts/serve_bench.py --mode prefix --max-seq 1024 > serve_prefix_r4.log 2>&1'
