@@ -1,10 +1,12 @@
 from .mesh import AXES, init_distributed, make_mesh, replicated, shard
+from .overlap import all_gather_gemm, gemm_reduce_scatter
 from .sharded import (cache_specs, make_sharded_decode_step,
                       make_sharded_prefill_step, param_specs, shard_caches,
                       shard_params, tp_kv_sharding)
 
 __all__ = [
     "AXES", "init_distributed", "make_mesh", "replicated", "shard",
+    "all_gather_gemm", "gemm_reduce_scatter",
     "cache_specs", "make_sharded_decode_step", "make_sharded_prefill_step",
     "param_specs", "shard_caches", "shard_params", "tp_kv_sharding",
 ]

@@ -176,6 +176,34 @@ def main() -> int:
                                                args.bucket, n_slots=n_adm),
                      (p_abs, c_abs, tok_abs, s_abs, s_abs)))
 
+    # Decomposed collective-GEMM primitives (parallel/overlap.py): compiled
+    # over a flat tp=n ring at serving-scale sizes. Evidence sought: the
+    # tp-1 collective-permute hops scheduled ASYNC with per-chunk dots
+    # hidden behind them (the monolithic psum/all-gather they replace can
+    # only run after/before ALL the FLOPs).
+    from deepgemm_ascend_tpu.parallel.overlap import (all_gather_gemm,
+                                                      gemm_reduce_scatter)
+    from deepgemm_ascend_tpu.parallel.sharded import shard_map as _smap
+    mesh1 = Mesh(np.asarray(topo.devices).reshape(-1), ("model",))
+    mm, kk, nn2 = 4096, 2048 * n, 2048
+    x_abs = jax.ShapeDtypeStruct(
+        (mm, kk), jnp.bfloat16,
+        sharding=NamedSharding(mesh1, P(None, "model")))
+    w_abs = jax.ShapeDtypeStruct(
+        (kk, nn2), jnp.bfloat16,
+        sharding=NamedSharding(mesh1, P("model", None)))
+    w2_abs = jax.ShapeDtypeStruct(
+        (kk, nn2), jnp.bfloat16,
+        sharding=NamedSharding(mesh1, P(None, "model")))
+    jobs.append(("gemm_reduce_scatter", jax.jit(_smap(
+        lambda xl, wl: gemm_reduce_scatter(xl, wl, axis_name="model", tp=n),
+        mesh1, in_specs=(P(None, "model"), P("model", None)),
+        out_specs=P("model", None))), (x_abs, w_abs)))
+    jobs.append(("all_gather_gemm", jax.jit(_smap(
+        lambda xl, wl: all_gather_gemm(xl, wl, axis_name="model", tp=n),
+        mesh1, in_specs=(P(None, "model"), P(None, "model")),
+        out_specs=P(None, "model"))), (x_abs, w2_abs)))
+
     rc = 0
     for name, fn, in_abs in jobs:
         try:
