@@ -78,7 +78,9 @@ def xla_candidate_ok(op: str, m: int, n: int, k: int,
     item 4 straggler rows), and only while the fp8/masked blocked
     realization's (kb, m, n) f32 partial stays modest.
     """
-    if "contiguous" in op:
+    if "grouped" in op and "masked" not in op:
+        # contiguous layout (runtime keys grouped_gemm / grouped_gemm_nt,
+        # sweep-script names grouped_gemm_contiguous*) — no XLA realization
         return False
     if 2.0 * m * n * k * flops_scale > _XLA_FLOPS_CEILING:
         return False

@@ -132,6 +132,10 @@ def test_xla_candidate_gate():
     assert ok("grouped_gemm_masked", 128, 2048, 512, flops_scale=8)
     assert not ok("gemm", 4096, 4096, 4096)        # not floor-bound
     assert not ok("grouped_gemm_contiguous", 64, 512, 512, flops_scale=4)
+    # the contiguous layout's RUNTIME op keys lack the "contiguous" suffix
+    assert not ok("grouped_gemm", 128, 1408, 2048, flops_scale=4)
+    assert not ok("grouped_gemm_nt", 128, 1408, 2048, flops_scale=4)
+    assert ok("grouped_gemm_masked_nt", 128, 2048, 512, flops_scale=8)
     # fp8 partial-buffer cap: huge (kb, m, n) f32 refused even if cheap FLOPs
     assert not ok("fp8_gemm", 8192, 8192, 256)
 
