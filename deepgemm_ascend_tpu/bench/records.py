@@ -40,6 +40,19 @@ OP_DTYPES = {
     "grouped_masked": ("float8_e4m3fn", "bfloat16"),  # legacy op key
 }
 
+
+def is_xla(config: dict) -> bool:
+    """True iff a sweep-record config dict is the XLA kernel family.
+
+    XLA-family records (config.KernelType.XLA) ignore their block fields —
+    every consumer that reasons about timing THROUGH the blocks (cost-model
+    calibration, predictor training, the vs-analytic report column) must
+    exclude them via this one predicate rather than re-hardcoding the enum
+    value.
+    """
+    from ..config import KernelType
+    return config.get("kernel_type", 1) == int(KernelType.XLA)
+
 # Tolerance on the roofline fraction. Genuine records top out just under
 # 1.0 (best observed: 0.988 on a bandwidth-saturated shape); corrupted
 # ones land at ≥1.16. The margin absorbs rounding in the platform

@@ -329,6 +329,13 @@ def fp8_gemm_with_config(
         interpret = _interpret_default()
 
     if config.kernel_type == KernelType.XLA:
+        if scale_mode != "accum" or mxu_dtype is not None:
+            # The XLA realization implements accum-mode math only; silently
+            # substituting it for an explicit folded/mxu_dtype opt-in would
+            # mislabel a numerics comparison.
+            raise ValueError(
+                "KernelType.XLA supports only the default scale_mode="
+                f"'accum' / mxu_dtype=None (got {scale_mode!r}/{mxu_dtype})")
         return _fp8_gemm_xla(a_q, a_scales, b_q, b_scales_expanded,
                              out_dtype=out_dtype, b_t=b_t)
 

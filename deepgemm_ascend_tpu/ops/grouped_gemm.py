@@ -345,23 +345,14 @@ def _grouped_masked_call(
     kb = k // BLOCK
 
     if config.kernel_type == KernelType.XLA:
-        # XLA family (config.py KernelType.XLA): blocked batched einsum with
-        # the kernels' accum-mode scale math (see _fp8_gemm_xla); rows at or
+        # XLA family (config.py KernelType.XLA): the dense blocked-einsum
+        # realization vmapped over the expert axis — ONE copy of the subtle
+        # accum-mode scale algebra (fp8_gemm._fp8_gemm_xla). Rows at or
         # after masked_m[e] — unspecified by the DeepGEMM contract — are
         # zeroed per ROW here (the Pallas kernel zeroes per inactive TILE).
-        a4 = a_q.reshape(e, m_max, kb, BLOCK).astype(jnp.bfloat16)
-        if b_t:
-            b4 = b_q.reshape(e, n, kb, BLOCK).astype(jnp.bfloat16)
-            partial = jnp.einsum("embk,enbk->ebmn", a4, b4,
-                                 preferred_element_type=jnp.float32)
-        else:
-            b4 = b_q.reshape(e, kb, BLOCK, n).astype(jnp.bfloat16)
-            partial = jnp.einsum("embk,ebkn->ebmn", a4, b4,
-                                 preferred_element_type=jnp.float32)
-        scaled = (partial
-                  * jnp.moveaxis(a_scales.astype(jnp.float32), 2, 1)[..., None]
-                  * bs_exp[:, :, None, :])
-        y = jnp.sum(scaled, axis=1)
+        y = jax.vmap(functools.partial(fp8mod._fp8_gemm_xla,
+                                       out_dtype=jnp.float32, b_t=b_t))(
+            a_q, a_scales, b_q, bs_exp)
         rows = jax.lax.broadcasted_iota(jnp.int32, (e, m_max, 1), 1)
         return jnp.where(rows < masked_m[:, None, None], y,
                          0.0).astype(out_dtype)

@@ -242,6 +242,11 @@ def _int8_grouped_contiguous_call(tile_gids, a_q, a_s, b_q, b_s, *,
                                   config, out_dtype, interpret):
     m, k = a_q.shape
     e, _, n = b_q.shape
+    if config.kernel_type == KernelType.XLA:
+        # Same rationale as the fp8 contiguous layout (ops/grouped_gemm.py):
+        # no XLA realization for the ragged tile→expert mapping.
+        raise ValueError("KernelType.XLA is not supported for the grouped "
+                         "contiguous layout")
     bm = config.block_m
     bn, bk = min(config.block_n, round_up(n, 128)), min(config.block_k,
                                                         round_up(k, 128))
@@ -372,6 +377,18 @@ def _int8_grouped_masked_call(masked_m, a_q, a_s, b_q, b_s, *,
                               config, out_dtype, interpret):
     e, m_max, k = a_q.shape
     n = b_q.shape[2]
+    if config.kernel_type == KernelType.XLA:
+        # XLA family: one int8 batched dot (the int32 K-sum is exact and the
+        # scales factor out — no blocked partials at all), f32 epilogue,
+        # rows ≥ masked_m[e] zeroed (unspecified by the masked contract).
+        acc = jax.lax.dot_general(
+            a_q, b_q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * a_s.astype(jnp.float32)
+             * b_s.astype(jnp.float32))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (e, m_max, 1), 1)
+        return jnp.where(rows < masked_m[:, None, None], y,
+                         0.0).astype(out_dtype)
     bm = min(config.block_m, round_up(m_max, 32))
     bn, bk = min(config.block_n, round_up(n, 128)), min(config.block_k,
                                                         round_up(k, 128))

@@ -110,6 +110,10 @@ def all_gather_gemm(x_local: jax.Array, w_rows: jax.Array, *,
     if w_rows.shape[0] != k_local * tp:
         raise ValueError(f"w_rows must have {k_local * tp} rows "
                          f"(k_local={k_local} × tp={tp}), got {w_rows.shape}")
+    if tp == 1:
+        return lax.dot_general(
+            x_local, w_rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=preferred_element_type)
     idx = lax.axis_index(axis_name)
 
     def rows_dot(chunk_owner, xc):

@@ -272,8 +272,12 @@ class Autotuner:
 
         # XLA-family candidate: measured like any other config (appended
         # LAST so resumed sweeps' record indices stay aligned); the publish
-        # path packages it per shape when it wins.
-        if xla_candidate_ok(self._op, m, n, k, flops_scale):
+        # path packages it per shape when it wins. Rank 0 only — the append
+        # happens after the rank/world slice, so without the guard every
+        # rank would re-measure the identical config (and harvest only
+        # reads the *_r0 files anyway).
+        if self._rank == 0 and xla_candidate_ok(self._op, m, n, k,
+                                                flops_scale):
             xcfg = GemmConfig(kernel_type=KernelType.XLA)
             if xcfg not in candidates:
                 candidates = list(candidates) + [xcfg]

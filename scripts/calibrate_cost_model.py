@@ -77,7 +77,7 @@ def load_records(paths):
                 if op not in OP_META:
                     continue
                 c = r["config"]
-                if c.get("kernel_type", 1) == 3:
+                if recmod.is_xla(c):
                     # XLA-family records ignore their block fields; fitting
                     # the block-based cost model to them poisons the fit.
                     continue

@@ -116,7 +116,7 @@ def main(argv=None) -> int:
                             r["config"]["block_k"])
         # XLA-family records ignore their block fields — never credit one
         # to the analytic tier even when the stored blocks coincide.
-        not_xla = lambda r: r["config"].get("kernel_type", 1) != 3
+        not_xla = lambda r: not recmod.is_xla(r["config"])
         matches = [r for r in recs if blocks(r) == nat_blocks
                    and r["config"].get("k_split", 1) == nat_ks
                    and r["config"].get("expert_coalesce", 1) == 1
@@ -163,7 +163,7 @@ def main(argv=None) -> int:
         t_str = f"{t_us/1000:.3f} ms" if t_us >= 1000 else f"{t_us:.1f} us"
         ana = analytic_pick.get(key)
         speedup = (f"{ana['time_s'] / r['time_s']:.2f}×" if ana else "—")
-        cfg_str = ("XLA" if c.get("kernel_type", 1) == 3 else
+        cfg_str = ("XLA" if recmod.is_xla(c) else
                    f"{c['block_m']}×{c['block_n']}×{c['block_k']}")
         lines.append(
             f"| {op} | {m} | {n} | {k} "

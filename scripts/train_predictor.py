@@ -55,7 +55,7 @@ def _load_grouped(paths, op_filter=None):
                     continue  # failed or corrupt-timing record
                 c = r["config"]
                 if (c.get("k_split", 1) > 1 or c.get("pad_k")
-                        or c.get("kernel_type", 1) == 3):
+                        or recmod.is_xla(c)):
                     # Non-representable in the (bm, bn, bk) feature schema:
                     # a KSPLIT/pad_k record shares its features with the
                     # plain-COMMON record for the same blocks but carries a

@@ -72,6 +72,14 @@ def test_gemm_reduce_scatter_tp1_plain_dot():
                                rtol=1e-6)
 
 
+def test_all_gather_gemm_tp1_plain_dot():
+    m, k, n = 8, 16, 24
+    x, w = _mats(m, k, n, seed=9, dtype=jnp.float32)
+    y = all_gather_gemm(x, w, axis_name="model", tp=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(jnp.dot(x, w)),
+                               rtol=1e-6)
+
+
 def test_gemm_reduce_scatter_rejects_ragged_m():
     x, w = _mats(10, 16, 8, seed=4)
     with pytest.raises(ValueError, match="divisible"):

@@ -124,6 +124,50 @@ def test_contiguous_xla_rejected():
                               kernel_type=KernelType.XLA))
 
 
+def test_int8_masked_xla_valid_rows_bitwise_invalid_zero():
+    e, m_max, k, n = 4, 32, 256, 128
+    masked = jnp.asarray([16, 3, 0, 32])
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((e, m_max, k)).astype(np.float32)
+    b = rng.standard_normal((e, k, n)).astype(np.float32)
+    a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)
+    b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=1)
+    out_x = np.asarray(i8mod.m_grouped_int8_gemm_masked(
+        a_q, a_s, b_q, b_s, masked, config=XCFG), np.float32)
+    out_p = np.asarray(i8mod.m_grouped_int8_gemm_masked(
+        a_q, a_s, b_q, b_s, masked,
+        config=GemmConfig(block_m=16, block_n=128, block_k=128)), np.float32)
+    for g, mm in enumerate([16, 3, 0, 32]):
+        # int32 K-sum exact in both → bitwise on valid rows
+        assert np.array_equal(out_x[g, :mm], out_p[g, :mm])
+        assert np.all(out_x[g, mm:] == 0.0)
+
+
+def test_int8_contiguous_xla_rejected():
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((32, 128)).astype(np.float32)
+    b = rng.standard_normal((2, 128, 128)).astype(np.float32)
+    a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)
+    b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=1)
+    with pytest.raises(ValueError, match="XLA"):
+        i8mod.m_grouped_int8_gemm_contiguous(
+            a_q, a_s, b_q, b_s, jnp.asarray([0, 1], jnp.int32),
+            config=GemmConfig(block_m=16, block_n=128, block_k=128,
+                              kernel_type=KernelType.XLA))
+
+
+def test_fp8_xla_rejects_nondefault_numerics():
+    m, n, k = 32, 128, 256
+    a = golden.gen_heavy_tail((m, k), seed=41)
+    b = golden.gen_heavy_tail((k, n), seed=42)
+    a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+    b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
+    bse = fp8mod.expand_weight_scales(b_s, n)
+    with pytest.raises(ValueError, match="accum"):
+        fp8mod.fp8_gemm_with_config(a_q, a_s, b_q, bse, config=XCFG,
+                                    scale_mode="folded", allow_relaxed=True)
+
+
 # ------------------------------------------------------------ candidate gate
 def test_xla_candidate_gate():
     ok = autotune.xla_candidate_ok
@@ -136,6 +180,9 @@ def test_xla_candidate_gate():
     assert not ok("grouped_gemm", 128, 1408, 2048, flops_scale=4)
     assert not ok("grouped_gemm_nt", 128, 1408, 2048, flops_scale=4)
     assert ok("grouped_gemm_masked_nt", 128, 2048, 512, flops_scale=8)
+    # int8: masked has an (exact, bufferless) XLA realization; contiguous not
+    assert ok("int8_grouped_gemm_masked", 64, 2048, 512, flops_scale=8)
+    assert not ok("int8_grouped_gemm", 64, 2048, 512, flops_scale=8)
     # fp8 partial-buffer cap: huge (kb, m, n) f32 refused even if cheap FLOPs
     assert not ok("fp8_gemm", 8192, 8192, 256)
 
