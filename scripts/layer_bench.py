@@ -21,6 +21,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Honor JAX_PLATFORMS explicitly (CPU smokes / debugging): this image's
+# sitecustomize force-registers the TPU plugin, so the env var alone is
+# ignored (see scripts/autotune_sweep.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()

@@ -21,6 +21,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Honor JAX_PLATFORMS explicitly (CPU smokes / debugging): this image's
+# sitecustomize force-registers the TPU plugin, so the env var alone is
+# ignored (see scripts/autotune_sweep.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def _envelope():
     """(peak fp8/bf16 FLOPs, HBM B/s) from the platform table — single
     source of truth (tiling/platform.py), not copied constants."""
@@ -51,7 +59,7 @@ def main(argv=None) -> int:
     from jax.experimental import pallas as pl
 
     from deepgemm_ascend_tpu.bench import timing
-    from deepgemm_ascend_tpu.config import GemmConfig
+    from deepgemm_ascend_tpu.config import GemmConfig, KernelType
     from deepgemm_ascend_tpu.ops import fp8_gemm as fp8mod
     from deepgemm_ascend_tpu.ops import grouped_gemm as gg
     from deepgemm_ascend_tpu.ops import quant
@@ -106,6 +114,11 @@ def main(argv=None) -> int:
             "swept best 128x512x1024": GemmConfig(128, 512, 1024),
             "full-K single tile 64x512x2048": GemmConfig(64, 512, 2048),
             "full-K 128x512x2048": GemmConfig(128, 512, 2048),
+            # gate-clean XLA family (blocked einsum, accum math) — what a
+            # packaged KernelType.XLA row would actually ship, vs the
+            # relaxed scale-fold realization probed separately below
+            "XLA family (gate-clean)": GemmConfig(
+                kernel_type=KernelType.XLA),
         }
         for tag, cfg in variants.items():
             f = lambda aq, asc, bq, bs, cfg=cfg: fp8mod.fp8_gemm_with_config(
