@@ -7,7 +7,8 @@ from .loader import (load_params, load_quantized,
                      load_safetensors, save_quantized)
 from .model import (DenseFFN, LayerParams, ModelParams, decode_step, forward,
                     generate_greedy_scan, init_cache, init_params)
-from .moe import ExpertWeights, MoEParams, dispatch_masked, moe_block, route_topk
+from .moe import (ExpertWeights, Int8ExpertWeights, MoEParams,
+                  dispatch_masked, moe_block, route_topk)
 
 __all__ = [
     "AttentionParams", "KVCache", "attention",
@@ -18,5 +19,5 @@ __all__ = [
     "generate_greedy_scan", "init_cache", "init_params",
     "load_params", "load_quantized", "load_safetensors",
     "save_quantized",
-    "ExpertWeights", "MoEParams", "dispatch_masked", "moe_block", "route_topk",
+    "ExpertWeights", "Int8ExpertWeights", "MoEParams", "dispatch_masked", "moe_block", "route_topk",
 ]

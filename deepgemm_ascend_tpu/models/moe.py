@@ -54,6 +54,45 @@ class ExpertWeights:
 
 
 @dataclasses.dataclass
+class Int8ExpertWeights:
+    """Per-expert SwiGLU weights, W8A8 int8 per-channel.
+
+    Runs the experts on the MXU's int8 path (394 TOPS v5e = 2× the
+    bf16/fp8 rate — ops/int8_gemm.py): per-channel weight × per-token
+    activation scales factor out of the K-sum entirely. Numerically this
+    trades fp8's blockwise range handling for 2× compute rate — the
+    standard W8A8 serving point. Drop-in for ``ExpertWeights`` in
+    ``MoEParams.experts``; ``moe_block`` dispatches on the type.
+
+    w1_q: (E, hidden, 2·inter) int8 with w1_s (E, 1, 2·inter) f32;
+    w2_q: (E, inter, hidden) int8 with w2_s (E, 1, hidden) f32.
+    """
+
+    w1_q: jax.Array
+    w1_s: jax.Array
+    w2_q: jax.Array
+    w2_s: jax.Array
+
+    @classmethod
+    def create(cls, key, e: int, hidden: int,
+               inter: int) -> "Int8ExpertWeights":
+        k1, k2 = jax.random.split(key)
+        w1 = jax.random.normal(k1, (e, hidden, 2 * inter),
+                               jnp.float32) / (hidden ** 0.5)
+        w2 = jax.random.normal(k2, (e, inter, hidden),
+                               jnp.float32) / (inter ** 0.5)
+        return cls.from_weights(w1, w2)
+
+    @classmethod
+    def from_weights(cls, w1: jax.Array,
+                     w2: jax.Array) -> "Int8ExpertWeights":
+        """Quantize float expert weights per output channel (K = axis 1)."""
+        w1_q, w1_s = quant.quantize_int8(w1, axis=1)
+        w2_q, w2_s = quant.quantize_int8(w2, axis=1)
+        return cls(w1_q=w1_q, w1_s=w1_s, w2_q=w2_q, w2_s=w2_s)
+
+
+@dataclasses.dataclass
 class MoEParams:
     router: BF16Linear               # (hidden, E)
     experts: ExpertWeights
@@ -80,6 +119,9 @@ class MoEParams:
 
 jax.tree_util.register_dataclass(
     ExpertWeights, data_fields=["w1_q", "w1_s", "w2_q", "w2_s"],
+    meta_fields=[])
+jax.tree_util.register_dataclass(
+    Int8ExpertWeights, data_fields=["w1_q", "w1_s", "w2_q", "w2_s"],
     meta_fields=[])
 jax.tree_util.register_dataclass(
     MoEParams,
@@ -160,16 +202,28 @@ def moe_block(
     masked_m = jax.lax.dynamic_slice(
         masked_m_all, (expert_offset,), (e_local,))
 
-    # Expert SwiGLU via masked grouped FP8 GEMM (fixed shapes).
-    a_q, a_s = quant.quantize_fp8_act(buf)
-    h = gg.m_grouped_gemm_masked(
-        a_q, a_s, params.experts.w1_q, params.experts.w1_s, masked_m,
-        config=gemm_config, b_scales_expanded=True)
-    h = _swiglu(h)
-    h_q, h_s = quant.quantize_fp8_act(h)
-    y = gg.m_grouped_gemm_masked(
-        h_q, h_s, params.experts.w2_q, params.experts.w2_s, masked_m,
-        config=gemm_config, b_scales_expanded=True)   # (E_local, cap, hidden)
+    # Expert SwiGLU via masked grouped GEMM (fixed shapes) — FP8 blockwise
+    # or W8A8 int8 (2× MXU rate), dispatched on the experts' type.
+    exp = params.experts
+    if isinstance(exp, Int8ExpertWeights):
+        from ..ops import int8_gemm as i8
+        a_q, a_s = quant.quantize_int8(buf, axis=-1)        # (E, cap, 1)
+        h = i8.m_grouped_int8_gemm_masked(
+            a_q, a_s, exp.w1_q, exp.w1_s, masked_m, config=gemm_config)
+        h = _swiglu(h)
+        h_q, h_s = quant.quantize_int8(h, axis=-1)
+        y = i8.m_grouped_int8_gemm_masked(
+            h_q, h_s, exp.w2_q, exp.w2_s, masked_m, config=gemm_config)
+    else:
+        a_q, a_s = quant.quantize_fp8_act(buf)
+        h = gg.m_grouped_gemm_masked(
+            a_q, a_s, exp.w1_q, exp.w1_s, masked_m,
+            config=gemm_config, b_scales_expanded=True)
+        h = _swiglu(h)
+        h_q, h_s = quant.quantize_fp8_act(h)
+        y = gg.m_grouped_gemm_masked(
+            h_q, h_s, exp.w2_q, exp.w2_s, masked_m,
+            config=gemm_config, b_scales_expanded=True)  # (E, cap, hidden)
 
     # Gather back + weighted combine.
     gathered = y[e_safe.reshape(-1), slot_safe.reshape(-1)]     # (T·K, h)

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     ap.add_argument("--configs", nargs="*",
                     default=["v2_lite_full:1", "v3_style:32"],
                     help="name:ep pairs")
+    ap.add_argument("--expert-quant", choices=["fp8", "int8"], default="fp8",
+                    help="expert weight quantization: fp8 blockwise or W8A8 "
+                         "int8 (2x MXU rate, models/moe.Int8ExpertWeights)")
     args = ap.parse_args(argv)
 
     import jax
@@ -48,7 +51,8 @@ def main(argv=None) -> int:
                                                       KVCache, attention)
     from deepgemm_ascend_tpu.models.config import V2_LITE_FULL, V3_STYLE
     from deepgemm_ascend_tpu.models.layers import BF16Linear, rms_norm
-    from deepgemm_ascend_tpu.models.moe import (ExpertWeights, MoEParams,
+    from deepgemm_ascend_tpu.models.moe import (ExpertWeights,
+                                                Int8ExpertWeights, MoEParams,
                                                 moe_block)
 
     cfgs = {"v2_lite_full": V2_LITE_FULL, "v3_style": V3_STYLE}
@@ -66,8 +70,10 @@ def main(argv=None) -> int:
         attn = AttentionParams.create(k_attn, cfg)
         router = BF16Linear.create(k_router, cfg.hidden_size,
                                    cfg.num_experts, init_scale=0.02)
-        experts = ExpertWeights.create(k_exp, e_local, cfg.hidden_size,
-                                       cfg.moe_intermediate)
+        expert_cls = (Int8ExpertWeights if args.expert_quant == "int8"
+                      else ExpertWeights)
+        experts = expert_cls.create(k_exp, e_local, cfg.hidden_size,
+                                    cfg.moe_intermediate)
         moe = MoEParams(router=router, experts=experts, shared_w1=None,
                         shared_w2=None)
         norm = jnp.ones((cfg.hidden_size,), jnp.bfloat16)
@@ -97,6 +103,7 @@ def main(argv=None) -> int:
         # Expert GEMM flops actually computed on this shard (expected
         # tokens routed to local experts = b·top_k/ep on average).
         print(f"[layer_bench] {name} ep={ep} (E_local={e_local}) "
+              f"experts={args.expert_quant} "
               f"batch={b} cache={s_len}: {ms:.3f} ms/layer | "
               f"projected full-model ({cfg.num_layers}L, this shard's "
               f"compute replicated): {proj:.0f} tok/s")

@@ -7,3 +7,5 @@ python scripts/straggler_probe.py > straggler_probe_r3.log 2>&1
 echo "=== straggler probe done ==="
 python scripts/layer_bench.py > layer_bench_r3.log 2>&1
 echo "=== layer bench done ==="
+python scripts/layer_bench.py --expert-quant int8 > layer_bench_int8_r4.log 2>&1
+echo "=== int8 layer bench done ==="
