@@ -48,6 +48,9 @@ stage sweep-r4f 7200 bash -c 'bash scripts/sweep_queue_r4f.sh >> autotune_result
 stage serve-chunksweep 2400 bash -c 'python scripts/serve_bench.py --mode chunksweep > serve_chunksweep_r4.log 2>&1'
 stage serve-mixed 2400 bash -c 'python scripts/serve_bench.py --mode mixed > serve_mixed_r4.log 2>&1'
 stage serve-prefix 2400 bash -c 'python scripts/serve_bench.py --mode prefix --max-seq 1024 > serve_prefix_r4.log 2>&1'
+# Land whatever instrument numbers exist in docs/BENCHMARKS.md (idempotent
+# marker-block rewrite) so a later tunnel loss can't orphan them in logs.
+stage_cpu instruments-md 600 bash -c 'python scripts/instruments_to_md.py >> instruments_md.log 2>&1'
 # Real-Mosaic validation of the round-4 dp-sharded prefill program.
 stage aot-check 2400 bash -c 'python scripts/aot_multichip_check.py --topology v5e:2x4 --model v2_lite --batch 64 --max-seq 2048 --out docs/aot > aot_check_r4.log 2>&1'
 stage sweep-r4 14400 bash -c 'bash scripts/sweep_queue_r4.sh >> autotune_results_r4_queue.log 2>&1'
@@ -58,5 +61,6 @@ stage sweep-r4d 14400 bash -c 'bash scripts/sweep_queue_r4d.sh >> autotune_resul
 stage_cpu harvest-2 2400 bash -c 'bash scripts/harvest_r4.sh > harvest_r4_stage2.log 2>&1'
 stage sweep-r4e 14400 bash -c 'bash scripts/sweep_queue_r4e.sh >> autotune_results_r4e_queue.log 2>&1'
 stage_cpu harvest-final 2400 bash -c 'bash scripts/harvest_r4.sh > harvest_r4.log 2>&1'
+stage_cpu instruments-md-final 600 bash -c 'python scripts/instruments_to_md.py >> instruments_md.log 2>&1'
 echo "$(date -u +%H:%M:%S) all done" >> $STATE
 touch watch_r4.done
