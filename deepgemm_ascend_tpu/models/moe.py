@@ -92,6 +92,19 @@ class Int8ExpertWeights:
         return cls(w1_q=w1_q, w1_s=w1_s, w2_q=w2_q, w2_s=w2_s)
 
 
+def int8_experts_from_fp8(exp: "ExpertWeights") -> "Int8ExpertWeights":
+    """Re-quantize deployed fp8 expert weights to W8A8 int8 — the realistic
+    fp8-checkpoint → int8 conversion path: dequantize the blockwise fp8
+    weights to f32 (exact; the stored scales are lane-expanded), then
+    per-channel int8 (`Int8ExpertWeights.from_weights`)."""
+    def deq(wq, ws):
+        k = wq.shape[1]
+        return wq.astype(jnp.float32) * jnp.repeat(
+            ws, quant.BLOCK, axis=1)[:, :k, :]
+    return Int8ExpertWeights.from_weights(deq(exp.w1_q, exp.w1_s),
+                                          deq(exp.w2_q, exp.w2_s))
+
+
 @dataclasses.dataclass
 class MoEParams:
     router: BF16Linear               # (hidden, E)

@@ -29,6 +29,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Honor JAX_PLATFORMS explicitly (CPU smokes / debugging): this image's
+# sitecustomize force-registers the TPU plugin, so the env var alone is
+# ignored (see scripts/autotune_sweep.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
@@ -41,6 +48,11 @@ def main(argv=None) -> int:
                     help="route attention through the XLA path (diagnostic: "
                          "isolates the flash kernel's contribution to the "
                          "fidelity numbers)")
+    ap.add_argument("--expert-quant", choices=["fp8", "int8"], default="fp8",
+                    help="int8: re-quantize the MoE experts to W8A8 "
+                         "(models/moe.int8_experts_from_fp8) and measure "
+                         "the deployed-int8-vs-exact fidelity — the "
+                         "accuracy cost of the 2x-rate int8 expert path")
     args = ap.parse_args(argv)
 
     import functools
@@ -58,6 +70,23 @@ def main(argv=None) -> int:
         import dataclasses
         cfg = dataclasses.replace(cfg, use_flash_decode=False)
     params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    params_kernel = params
+    if args.expert_quant == "int8":
+        import dataclasses as _dc
+
+        from deepgemm_ascend_tpu.models.moe import (ExpertWeights, MoEParams,
+                                                    int8_experts_from_fp8)
+
+        def _conv(layer):
+            ffn = layer.ffn
+            if (isinstance(ffn, MoEParams)
+                    and isinstance(ffn.experts, ExpertWeights)):
+                ffn = _dc.replace(ffn,
+                                  experts=int8_experts_from_fp8(ffn.experts))
+            return _dc.replace(layer, ffn=ffn)
+
+        params_kernel = _dc.replace(
+            params, layers=[_conv(l) for l in params.layers])
     # Cache extent rounded to a 128-multiple: serving caches always are,
     # and the flash-decode kernel's writeback takes the 128-tile path there
     # (a ragged extent forces the whole-S-tile variant — a configuration no
@@ -65,29 +94,31 @@ def main(argv=None) -> int:
     # fidelity number it is this script's job to represent).
     max_seq = max(128, ((args.steps + 8 + 127) // 128) * 128)
 
-    def make_step(exact: bool):
-        """Fresh jit per mode — the exact flag is read at trace time."""
+    def make_step(exact: bool, p):
+        """Fresh jit per mode — the exact flag is read at trace time; warm
+        the trace with the SAME params pytree the run will use (the int8
+        expert variant has a different tree structure)."""
         caches = init_cache(cfg, args.batch, max_seq=max_seq)
         toks = jnp.zeros((args.batch,), jnp.int32)
         lens = jnp.zeros((args.batch,), jnp.int32)
         if exact:
             with fp8mod.exact_mode():
                 step = jax.jit(functools.partial(decode_step, cfg=cfg))
-                step(params, toks, caches, lens)  # trace inside the context
+                step(p, toks, caches, lens)  # trace inside the context
         else:
             step = jax.jit(functools.partial(decode_step, cfg=cfg))
         return step
 
-    def run(step, token_stream=None):
-        """Drive ``step``; returns (tokens (b, steps), logits (steps, b, V)).
-        With ``token_stream`` the path is teacher-forced on those tokens;
-        otherwise it free-runs greedily."""
+    def run(step, p, token_stream=None):
+        """Drive ``step`` on params ``p``; returns (tokens (b, steps),
+        logits (steps, b, V)). With ``token_stream`` the path is
+        teacher-forced on those tokens; otherwise it free-runs greedily."""
         caches = init_cache(cfg, args.batch, max_seq=max_seq)
         toks = jnp.zeros((args.batch,), jnp.int32)
         lens = jnp.zeros((args.batch,), jnp.int32)
         all_logits, all_toks = [], []
         for t in range(args.steps):
-            logits, caches = step(params, toks, caches, lens)
+            logits, caches = step(p, toks, caches, lens)
             all_logits.append(np.asarray(logits, np.float32))
             if token_stream is None:
                 toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -97,10 +128,12 @@ def main(argv=None) -> int:
             lens = lens + 1
         return np.stack(all_toks, 1), np.stack(all_logits, 0)
 
-    step_k = make_step(exact=False)
-    step_e = make_step(exact=True)
-    toks_k, logit_k = run(step_k)                 # kernel path drives the text
-    _, logit_e = run(step_e, token_stream=toks_k)  # exact path teacher-forced
+    step_k = make_step(exact=False, p=params_kernel)
+    step_e = make_step(exact=True, p=params)
+    # kernel path (fp8 or int8-expert params) drives the text; the exact
+    # fp8-dequant path on the ORIGINAL params is teacher-forced on it.
+    toks_k, logit_k = run(step_k, params_kernel)
+    _, logit_e = run(step_e, params, token_stream=toks_k)
     # Token inputs are identical at every step; each path evolves its own KV
     # cache, so the logit gap measures COMPOUNDED kernel arithmetic error
     # over depth × steps — the honest model-scale fidelity number.
@@ -133,6 +166,7 @@ def main(argv=None) -> int:
 
     out = {
         "metric": "fp8_kernel_fidelity",
+        "expert_quant": args.expert_quant,
         "model": args.model,
         "steps": args.steps,
         "batch": args.batch,

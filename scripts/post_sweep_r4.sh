@@ -9,3 +9,6 @@ python scripts/layer_bench.py > layer_bench_r3.log 2>&1
 echo "=== layer bench done ==="
 python scripts/layer_bench.py --expert-quant int8 > layer_bench_int8_r4.log 2>&1
 echo "=== int8 layer bench done ==="
+python scripts/eval_quality.py --model v2_lite --expert-quant int8 \
+    > eval_int8_v2lite_r4.log 2>&1
+echo "=== int8 v2_lite fidelity eval done ==="
