@@ -6,7 +6,8 @@ from .layers import BF16Linear, Fp8Linear, Int8Linear, rms_norm
 from .loader import (load_params, load_quantized,
                      load_safetensors, save_quantized)
 from .model import (DenseFFN, LayerParams, ModelParams, decode_step, forward,
-                    generate_greedy_scan, init_cache, init_params)
+                    generate_greedy_scan, init_cache, init_params,
+                    params_with_int8_experts)
 from .moe import (ExpertWeights, Int8ExpertWeights, MoEParams,
                   dispatch_masked, moe_block, route_topk)
 
@@ -17,6 +18,7 @@ __all__ = [
     "BF16Linear", "Fp8Linear", "Int8Linear", "rms_norm",
     "DenseFFN", "LayerParams", "ModelParams", "decode_step", "forward",
     "generate_greedy_scan", "init_cache", "init_params",
+    "params_with_int8_experts",
     "load_params", "load_quantized", "load_safetensors",
     "save_quantized",
     "ExpertWeights", "Int8ExpertWeights", "MoEParams", "dispatch_masked", "moe_block", "route_topk",

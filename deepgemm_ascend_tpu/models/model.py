@@ -85,6 +85,25 @@ def init_params(key, cfg: ModelConfig) -> ModelParams:
                        lm_head=lm_head)
 
 
+def params_with_int8_experts(params: ModelParams) -> ModelParams:
+    """Re-quantize every MoE layer's fp8 experts to W8A8 int8
+    (moe.int8_experts_from_fp8) — the deployed-checkpoint conversion path
+    to the 2× int8 MXU rate. Dense-FFN layers and already-int8 experts
+    pass through unchanged."""
+    from .moe import ExpertWeights, int8_experts_from_fp8
+
+    def conv(layer: LayerParams) -> LayerParams:
+        ffn = layer.ffn
+        if isinstance(ffn, MoEParams) and isinstance(ffn.experts,
+                                                     ExpertWeights):
+            ffn = dataclasses.replace(
+                ffn, experts=int8_experts_from_fp8(ffn.experts))
+        return dataclasses.replace(layer, ffn=ffn)
+
+    return dataclasses.replace(params,
+                               layers=[conv(l) for l in params.layers])
+
+
 def init_cache(cfg: ModelConfig, batch: int,
                max_seq: Optional[int] = None) -> List[KVCache]:
     max_seq = max_seq or cfg.max_seq_len

@@ -72,21 +72,8 @@ def main(argv=None) -> int:
     params = init_params(jax.random.PRNGKey(args.seed), cfg)
     params_kernel = params
     if args.expert_quant == "int8":
-        import dataclasses as _dc
-
-        from deepgemm_ascend_tpu.models.moe import (ExpertWeights, MoEParams,
-                                                    int8_experts_from_fp8)
-
-        def _conv(layer):
-            ffn = layer.ffn
-            if (isinstance(ffn, MoEParams)
-                    and isinstance(ffn.experts, ExpertWeights)):
-                ffn = _dc.replace(ffn,
-                                  experts=int8_experts_from_fp8(ffn.experts))
-            return _dc.replace(layer, ffn=ffn)
-
-        params_kernel = _dc.replace(
-            params, layers=[_conv(l) for l in params.layers])
+        from deepgemm_ascend_tpu.models import params_with_int8_experts
+        params_kernel = params_with_int8_experts(params)
     # Cache extent rounded to a 128-multiple: serving caches always are,
     # and the flash-decode kernel's writeback takes the 128-tile path there
     # (a ragged extent forces the whole-S-tile variant — a configuration no

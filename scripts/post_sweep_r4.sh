@@ -12,3 +12,6 @@ echo "=== int8 layer bench done ==="
 python scripts/eval_quality.py --model v2_lite --expert-quant int8 \
     > eval_int8_v2lite_r4.log 2>&1
 echo "=== int8 v2_lite fidelity eval done ==="
+python scripts/serve_bench.py --mode scan --model v2_lite \
+    --expert-quant int8 --max-seq 2048 > serve_scan_int8_r4.log 2>&1
+echo "=== int8 v2_lite decode bench done ==="

@@ -30,6 +30,18 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _params_for(args, cfg):
+    """init_params + optional W8A8 expert conversion (--expert-quant)."""
+    import jax
+
+    from deepgemm_ascend_tpu.models import (init_params,
+                                            params_with_int8_experts)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if getattr(args, "expert_quant", "fp8") == "int8":
+        params = params_with_int8_experts(params)
+    return params
+
+
 def _scan_mode(args):
     import jax
     import jax.numpy as jnp
@@ -41,7 +53,7 @@ def _scan_mode(args):
                                             init_cache, init_params)
 
     cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = _params_for(args, cfg)
     caches = init_cache(cfg, args.batch,
                         max_seq=args.max_seq or args.steps + 8)
     toks = jnp.zeros((args.batch,), jnp.int32)
@@ -64,6 +76,7 @@ def _scan_mode(args):
     tps = args.batch * args.steps / secs
     print(json.dumps({
         "metric": "moe_decode_tokens_per_s", "mode": "scan",
+        "expert_quant": args.expert_quant,
         "model": args.model, "batch": args.batch, "steps": args.steps,
         "max_seq": args.max_seq or args.steps + 8,
         "flash_decode": cfg.use_flash_decode,
@@ -79,7 +92,7 @@ def _engine_mode(args):
     from deepgemm_ascend_tpu.serving import Engine
 
     cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = _params_for(args, cfg)
     eng = Engine(params, cfg, max_slots=args.batch,
                  max_seq_len=args.steps + 16,
                  decode_chunk=args.decode_chunk)
@@ -89,6 +102,7 @@ def _engine_mode(args):
     eng.generate(prompts, max_new_tokens=args.steps)
     print(json.dumps({
         "metric": "moe_decode_tokens_per_s", "mode": "engine",
+        "expert_quant": args.expert_quant,
         "model": args.model, "slots": args.batch,
         "decode_chunk": args.decode_chunk,
         "tokens_per_s": round(eng.tokens_per_second, 1),
@@ -306,6 +320,9 @@ def main(argv=None) -> int:
                     help="KV cache length (scan mode; 0 = steps+8). Use a "
                          "realistic value (2048/4096) to expose attention "
                          "cache-bandwidth cost")
+    ap.add_argument("--expert-quant", choices=["fp8", "int8"], default="fp8",
+                    help="scan/engine modes: run the MoE experts as W8A8 "
+                         "int8 (2x MXU rate; models.params_with_int8_experts)")
     args = ap.parse_args(argv)
     {"scan": _scan_mode, "engine": _engine_mode,
      "scaling": _scaling_mode, "chunksweep": _chunksweep_mode,
