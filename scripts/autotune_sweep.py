@@ -33,6 +33,7 @@ def main(argv=None) -> int:
     ap.add_argument("--op", default="fp8_gemm",
                     choices=["gemm", "gemm_nt", "gemm_tn", "gemm_tt",
                              "fp8_gemm", "fp8_gemm_nt", "int8_gemm",
+                             "int8_grouped_gemm_masked",
                              "grouped_gemm_masked",
                              "grouped_gemm_contiguous",
                              "grouped_gemm_masked_nt",
@@ -89,7 +90,8 @@ def main(argv=None) -> int:
     from deepgemm_ascend_tpu.utils.common import round_up
 
     grouped_ops = ("grouped_gemm_masked", "grouped_gemm_contiguous",
-                   "grouped_gemm_masked_nt", "grouped_gemm_contiguous_nt")
+                   "grouped_gemm_masked_nt", "grouped_gemm_contiguous_nt",
+                   "int8_grouped_gemm_masked")
     if args.shapes:
         flat = args.shapes
         width = 4 if args.op in grouped_ops else 3
@@ -193,6 +195,56 @@ def main(argv=None) -> int:
             print(f"[DGA-TPU] contiguous{'-nt' if nt else ''}"
                   f"{'-uneven' if args.uneven else ''} E{e} "
                   f"{m_per}x{n}x{k} winner: {win}")
+            continue
+        if args.op == "int8_grouped_gemm_masked":
+            # (E, M_max, N, K) W8A8 masked grouped — the MoE-decode hot
+            # path at the int8 MXU rate (models/moe.Int8ExpertWeights).
+            from deepgemm_ascend_tpu.ops import int8_gemm as i8mod
+            e, m, n, k = shape
+            a = golden.gen_heavy_tail((e, m, k), seed=0)
+            b = golden.gen_heavy_tail((e, k, n), seed=1)
+            a_q, a_s = quant.quantize_int8(jnp.asarray(a), axis=-1)
+            b_q, b_s = quant.quantize_int8(jnp.asarray(b), axis=1)
+            masked_m = jnp.full((e,), m, jnp.int32)
+
+            def time_fn(cfg, a_q=a_q, a_s=a_s, b_q=b_q, b_s=b_s,
+                        masked_m=masked_m, i8mod=i8mod):
+                from deepgemm_ascend_tpu.ops.gemm import _interpret_default
+                f = lambda aq, asc, bq, bs, mm=masked_m: \
+                    i8mod._int8_grouped_masked_call(
+                        mm, aq, asc, bq, bs, config=cfg,
+                        out_dtype=jnp.bfloat16,
+                        interpret=_interpret_default())
+
+                def perturb(out, a0):
+                    import jax
+                    # Chain iterations through a value-dependent (but
+                    # numerically zero) tap so the scan can't be DCE'd;
+                    # the f32→int8 convert still carries the dependency.
+                    tap = jax.lax.convert_element_type(
+                        jnp.sum(out[:1, :1, :1]),
+                        jnp.float32) * jnp.float32(1e-30)
+                    return a0 + tap.astype(a0.dtype)
+
+                t = timing.time_fn(f, (a_q, a_s, b_q, b_s),
+                                   iters=args.iters, repeats=2,
+                                   perturb=perturb,
+                                   min_chain_seconds=args.min_chain)
+                return t.seconds
+
+            tag = f"{args.op}_{e}x{m}x{n}x{k}_r{args.rank}"
+            tuner = autotune.Autotuner(
+                None, time_fn, op=args.op,
+                results_path=os.path.join(args.out_dir, f"{tag}.jsonl"),
+                checkpoint_path=os.path.join(args.out_dir, f"{tag}.ckpt"),
+                cache=cache, rank=args.rank, world=args.world,
+                retry_failed=args.retry_poisoned)
+            win = tuner.sweep_shape(
+                m, n, k, in_dtype=jnp.int8, out_dtype=jnp.bfloat16,
+                max_candidates=args.max_candidates,
+                explore_extra=args.explore_extra, verbose=True,
+                flops_scale=e)
+            print(f"[DGA-TPU] int8-masked E{e} {m}x{n}x{k} winner: {win}")
             continue
         if args.op.startswith("grouped_gemm_masked"):
             # (E, M_max, N, K) — BASELINE configs 3-4 (MoE prefill/decode).

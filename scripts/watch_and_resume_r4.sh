@@ -60,6 +60,7 @@ stage sweep-r4c 14400 bash -c 'bash scripts/sweep_queue_r4c.sh >> autotune_resul
 stage sweep-r4d 14400 bash -c 'bash scripts/sweep_queue_r4d.sh >> autotune_results_r4d_queue.log 2>&1'
 stage_cpu harvest-2 2400 bash -c 'bash scripts/harvest_r4.sh > harvest_r4_stage2.log 2>&1'
 stage sweep-r4e 14400 bash -c 'bash scripts/sweep_queue_r4e.sh >> autotune_results_r4e_queue.log 2>&1'
+stage sweep-r4g 7200 bash -c 'bash scripts/sweep_queue_r4g.sh >> autotune_results_r4g_queue.log 2>&1'
 stage_cpu harvest-final 2400 bash -c 'bash scripts/harvest_r4.sh > harvest_r4.log 2>&1'
 stage_cpu instruments-md-final 600 bash -c 'python scripts/instruments_to_md.py >> instruments_md.log 2>&1'
 echo "$(date -u +%H:%M:%S) all done" >> $STATE
