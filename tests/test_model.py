@@ -8,6 +8,7 @@ the MoE block is cross-checked against a dense per-token loop reference.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepgemm_ascend_tpu.models import (TINY, KVCache, ModelConfig,
                                         decode_step, dispatch_masked, forward,
@@ -111,6 +112,8 @@ def test_attention_decode_vs_prefill_consistency():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow  # smoke subsumed by the decode-vs-prefill consistency
+# test above (same decode_step path, stronger assertion)
 def test_decode_step_shapes_and_finite():
     cfg = TINY
     params = init_params(jax.random.PRNGKey(2), cfg)

@@ -302,6 +302,8 @@ def test_topp_threshold_matches_gathered_kept_set():
         np.testing.assert_array_equal(kept, kept_ref), p
 
 
+@pytest.mark.slow  # top-p membership is implied by the stronger exact
+# kept-set equality test above (test_topp_threshold_matches_gathered_kept_set)
 def test_sampled_step_topp_membership(setup):
     """top_p < 1 in the sharded step: every sampled token must lie in the
     reference nucleus of that row's gathered logits, and the engine no

@@ -66,6 +66,8 @@ def _reference_generate(params, cfg, prompt, n_new):
     return eng.generate([prompt], max_new_tokens=n_new)[0]
 
 
+@pytest.mark.slow  # basic-path smoke subsumed by the continuous-batching
+# and chunked-decode parity tests (both generate through the same engine)
 def test_engine_single_request(model):
     cfg, params = model
     eng = Engine(params, cfg, max_slots=2, max_seq_len=64)
@@ -219,7 +221,7 @@ def test_batched_admission_one_dispatch_matches_serial(model):
     from deepgemm_ascend_tpu.utils.logging import metrics
     cfg, params = model
     prompts = [[(i * 11 + j) % cfg.vocab_size for j in range(6 + i)]
-               for i in range(4)]                      # all bucket 16
+               for i in range(3)]                      # all bucket 16
     ref = Engine(params, cfg, max_slots=4, max_seq_len=32)
     ref_out = []
     for p in prompts:                                  # serial admissions
@@ -231,9 +233,9 @@ def test_batched_admission_one_dispatch_matches_serial(model):
     eng = Engine(params, cfg, max_slots=4, max_seq_len=32)
     ids = [eng.scheduler.submit(p, 2) for p in prompts]
     metrics.reset()
-    eng.step()                                         # admits all four
+    eng.step()                                         # admits all three
     snap = metrics.snapshot()
-    assert snap.get("engine.prefills", 0) == 4
+    assert snap.get("engine.prefills", 0) == 3
     assert snap.get("engine.prefill_dispatches", 0) == 1, snap
     while eng.scheduler.has_work:
         eng.step()
@@ -333,6 +335,8 @@ def test_prefix_cache_lru_eviction(model):
     assert out_a2 == ra
 
 
+@pytest.mark.slow  # regression guard for the FIXED c0000ed bug; default
+# prefix-cache correctness is covered by the exact-repeat/shared-prefix test
 def test_prefix_cache_same_step_eviction_cannot_clobber_hit(model):
     """Self-review r4 repro: one step admits a COLD long prompt (its own
     bucket group) and a prefix-HIT prompt (another group) while the store
