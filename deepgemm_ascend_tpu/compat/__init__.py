@@ -41,7 +41,17 @@ def _to_jax(x):
     if x is None or isinstance(x, jnp.ndarray):
         return x
     if _is_torch(x):
-        return jnp.asarray(x.detach().cpu().numpy())
+        import torch
+        t = x.detach().cpu()
+        # torch's .numpy() rejects fp8/bf16 ("unsupported ScalarType");
+        # bridge losslessly through a same-width integer view + bitcast.
+        if t.dtype == torch.float8_e4m3fn:
+            return jnp.asarray(t.view(torch.uint8).numpy()).view(
+                jnp.float8_e4m3fn)
+        if t.dtype == torch.bfloat16:
+            return jnp.asarray(t.view(torch.uint16).numpy()).view(
+                jnp.bfloat16)
+        return jnp.asarray(t.numpy())
     return jnp.asarray(x)
 
 

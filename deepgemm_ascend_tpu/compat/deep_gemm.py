@@ -84,12 +84,18 @@ def _tile_ids_from_m_indices(m_indices, m_total: int):
             f"{bm} (get_m_alignment_for_contiguous_layout())")
     idx = _to_jax(m_indices).astype(jnp.int32)
     tiles = idx.reshape(m_total // bm, bm)
-    import numpy as np
-    t_np = np.asarray(tiles)
-    if not (t_np == t_np[:, :1]).all():
-        raise ValueError(
-            "each 128-row tile must map to a single group id (align every "
-            "expert's rows to get_m_alignment_for_contiguous_layout())")
+    import jax
+    if not isinstance(idx, jax.core.Tracer):
+        # Concrete input: validate alignment eagerly. Under jit (tracer)
+        # the host check is impossible — the caller owns DeepGEMM's
+        # alignment contract there, exactly as upstream does.
+        import numpy as np
+        t_np = np.asarray(tiles)
+        if not (t_np == t_np[:, :1]).all():
+            raise ValueError(
+                "each 128-row tile must map to a single group id (align "
+                "every expert's rows to "
+                "get_m_alignment_for_contiguous_layout())")
     return tiles[:, 0]
 
 

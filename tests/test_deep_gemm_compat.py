@@ -96,6 +96,50 @@ def test_grouped_masked_alias():
                                   np.asarray(ref, np.float32))
 
 
+def test_gemm_nt_torch_fp8_inputs():
+    """DeepGEMM callers hold torch fp8/bf16 tensors; the bridge must be
+    lossless (torch .numpy() rejects those dtypes — review finding)."""
+    torch = pytest.importorskip("torch")
+    m, n, k = 32, 128, 256
+    a_q, a_s, bt_q, bt_s, b_q, b_s = _dense(m, n, k, seed=11)
+
+    def to_torch_fp8(x):
+        return torch.from_numpy(
+            np.asarray(x).view(np.uint8)).view(torch.float8_e4m3fn)
+
+    lhs = (to_torch_fp8(a_q), torch.from_numpy(np.asarray(a_s)))
+    rhs = (to_torch_fp8(bt_q), torch.from_numpy(np.asarray(bt_s)))
+    out_t = dg.gemm_fp8_fp8_bf16_nt(lhs, rhs)
+    out_j = dg.gemm_fp8_fp8_bf16_nt((a_q, a_s), (bt_q, bt_s))
+    np.testing.assert_array_equal(np.asarray(out_t, np.float32),
+                                  np.asarray(out_j, np.float32))
+
+
+def test_grouped_contiguous_alias_traces_under_jit():
+    """The m_indices→tile-id conversion must not host-materialize a tracer
+    (review finding); validation is skipped under jit by contract."""
+    import jax
+    e, k, n = 2, 256, 128
+    bm = dg.get_m_alignment_for_contiguous_layout()
+    b = golden.gen_heavy_tail((e, k, n), seed=12)
+    b_q, b_s = quant.quantize_fp8_weight(jnp.asarray(b))
+    a = golden.gen_heavy_tail((2 * bm, k), seed=13)
+    a_q, a_s = quant.quantize_fp8_act(jnp.asarray(a))
+    bt_q, bt_s = jnp.swapaxes(b_q, 1, 2), jnp.swapaxes(b_s, 1, 2)
+    m_indices = jnp.repeat(jnp.arange(2, dtype=jnp.int32), bm)
+
+    @jax.jit
+    def f(aq, asc, bq, bs, mi):
+        return dg.m_grouped_gemm_fp8_fp8_bf16_nt_contiguous(
+            (aq, asc), (bq, bs), None, mi)
+
+    out = f(a_q, a_s, bt_q, bt_s, m_indices)
+    ref = dg.m_grouped_gemm_fp8_fp8_bf16_nt_contiguous(
+        (a_q, a_s), (bt_q, bt_s), None, m_indices)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
 def test_tma_alignment_helper_is_identity():
     x = jnp.ones((4, 4))
     assert dg.get_col_major_tma_aligned_tensor(x) is x
