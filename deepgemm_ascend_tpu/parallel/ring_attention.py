@@ -1,0 +1,108 @@
+"""Ring attention — context-parallel (CP) prefill over a KV ring.
+
+Long-context prefill splits the SEQUENCE over a mesh axis: each shard holds
+S/cp query rows and S/cp KV rows. KV shards rotate around the ICI ring
+(``lax.ppermute``), and each hop's partial attention merges into a running
+online-softmax state — the sequence dimension scales with the mesh without
+any shard ever materializing the full K/V (memory per chip stays S/cp), and
+each hop's permute overlaps the previous chunk's attention math under XLA's
+latency-hiding scheduler (same decomposition discipline as
+``parallel/overlap.py``).
+
+The reference has no long-context/CP story at all (SURVEY §5); this is the
+TPU-native mechanism for it. The per-chunk attention is plain XLA einsum +
+f32 online-softmax here — correct and fusion-friendly; routing the chunk
+through the Pallas flash-prefill kernel (which would need (m, l) running
+outputs exposed) is the documented next optimization. Work on the strictly-
+upper-triangle hops is masked rather than skipped (classic unbalanced ring;
+zigzag load balancing is future work).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["ring_attention_prefill"]
+
+
+def _chunk_attn(q, k, v, mask, scale):
+    """One (q-chunk × kv-chunk) attention partial in f32.
+
+    q: (b, sq, h, d); k/v: (b, sk, h, d); mask: (sq, sk) bool (True = keep).
+    Returns (acc (b, sq, h, d) f32 — exp-weighted V sum, m (b, sq, h) f32
+    row max, l (b, sq, h) f32 exp sum).
+    """
+    s = jnp.einsum("bqhd,bkhd->bqhk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = jnp.where(mask[None, :, None, :], s, -jnp.inf)
+    m = jnp.max(s, axis=-1)                                 # (b, sq, h)
+    # fully-masked rows (m = -inf): exp(-inf - -inf) = nan → guard to 0
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(s - safe_m[..., None])
+    p = jnp.where(mask[None, :, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bqhk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return acc, jnp.where(jnp.isfinite(m), m, -jnp.inf), l
+
+
+def _merge(state, new):
+    """Online-softmax merge of two (acc, m, l) partial states."""
+    acc0, m0, l0 = state
+    acc1, m1, l1 = new
+    m = jnp.maximum(m0, m1)
+    safe = lambda mm: jnp.where(jnp.isfinite(mm), mm, 0.0)
+    c0 = jnp.where(jnp.isfinite(m0), jnp.exp(safe(m0) - safe(m)), 0.0)
+    c1 = jnp.where(jnp.isfinite(m1), jnp.exp(safe(m1) - safe(m)), 0.0)
+    return (acc0 * c0[..., None] + acc1 * c1[..., None],
+            m, l0 * c0 + l1 * c1)
+
+
+def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
+                           causal: bool = True,
+                           out_dtype=jnp.bfloat16) -> jax.Array:
+    """Context-parallel attention over sequence-sharded q/k/v.
+
+    Call INSIDE :func:`shard_map` with q, k, v sharded on the sequence dim
+    over ``axis_name`` (each shard: (b, s_local, heads, head_dim); global
+    row of local row r on shard i is ``i * s_local + r``). ``cp`` is the
+    static ring size. Returns the (b, s_local, heads, head_dim) attention
+    output for the local query rows — numerically the same online-softmax
+    math as flash attention, so it matches full-sequence attention to f32
+    rounding. GQA callers broadcast KV heads before sharding.
+    """
+    b, s_local, h, d = q.shape
+    if k.shape != q.shape or v.shape != q.shape:
+        raise ValueError(f"q/k/v shards must match, got {q.shape} / "
+                         f"{k.shape} / {v.shape}")
+    scale = 1.0 / (d ** 0.5)
+    if cp == 1:
+        mask = (jnp.tril(jnp.ones((s_local, s_local), bool)) if causal
+                else jnp.ones((s_local, s_local), bool))
+        acc, m, l = _chunk_attn(q, k, v, mask, scale)
+        return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)
+
+    idx = lax.axis_index(axis_name)
+    rows = jnp.arange(s_local)
+    q_pos = idx * s_local + rows                       # (s_local,) global
+
+    def hop_mask(kv_owner):
+        k_pos = kv_owner * s_local + rows
+        if not causal:
+            return jnp.ones((s_local, s_local), bool)
+        return q_pos[:, None] >= k_pos[None, :]
+
+    # Reverse ring: after s hops this rank holds the KV shard of rank
+    # (idx + s) % cp (same convention as overlap.all_gather_gemm).
+    perm = [((i + 1) % cp, i) for i in range(cp)]
+    kv = (k, v)
+    state = _chunk_attn(q, k, v, hop_mask(idx), scale)
+    for s in range(1, cp):
+        kv = (lax.ppermute(kv[0], axis_name, perm),
+              lax.ppermute(kv[1], axis_name, perm))
+        owner = (idx + s) % cp
+        state = _merge(state, _chunk_attn(q, kv[0], kv[1],
+                                          hop_mask(owner), scale))
+    acc, _, l = state
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)

@@ -1,0 +1,93 @@
+"""Ring attention (parallel/ring_attention.py) vs full-sequence reference.
+
+The CP primitive must match plain full-sequence softmax attention to f32
+rounding for both causal and full masks, at every ring size that divides
+the 8-device mesh, including ragged-ish head/batch shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepgemm_ascend_tpu.parallel import make_mesh
+from deepgemm_ascend_tpu.parallel.ring_attention import ring_attention_prefill
+from deepgemm_ascend_tpu.parallel.sharded import shard_map
+
+P = jax.sharding.PartitionSpec
+
+
+def _ref_attention(q, k, v, causal):
+    qf, kf, vf = (x.astype(np.float32) for x in
+                  (np.asarray(q), np.asarray(k), np.asarray(v)))
+    b, s, h, d = qf.shape
+    out = np.empty_like(qf)
+    for bi in range(b):
+        for hi in range(h):
+            sc = qf[bi, :, hi] @ kf[bi, :, hi].T / np.sqrt(d)
+            if causal:
+                sc = np.where(np.tril(np.ones((s, s), bool)), sc, -np.inf)
+            sc = sc - sc.max(-1, keepdims=True)
+            p = np.exp(sc)
+            p /= p.sum(-1, keepdims=True)
+            out[bi, :, hi] = p @ vf[bi, :, hi]
+    return out
+
+
+def _qkv(b, s, h, d, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, s, h, d)) * 0.5,
+                             jnp.bfloat16)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("cp,causal", [(2, True), (4, True), (8, True),
+                                       (4, False)])
+def test_ring_attention_matches_full(cp, causal):
+    b, s, h, d = 2, 16 * cp, 2, 32
+    q, k, v = _qkv(b, s, h, d, seed=cp)
+    mesh = make_mesh(tp=cp)
+
+    f = jax.jit(shard_map(
+        lambda ql, kl, vl: ring_attention_prefill(
+            ql, kl, vl, axis_name="model", cp=cp, causal=causal),
+        mesh,
+        in_specs=(P(None, "model"), P(None, "model"), P(None, "model")),
+        out_specs=P(None, "model")))
+    out = np.asarray(f(q, k, v), np.float32)
+    ref = _ref_attention(q, k, v, causal)
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_ring_attention_cp1_matches_full():
+    b, s, h, d = 1, 32, 2, 16
+    q, k, v = _qkv(b, s, h, d, seed=9)
+    out = np.asarray(ring_attention_prefill(
+        q, k, v, axis_name="model", cp=1), np.float32)
+    ref = _ref_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_ring_attention_memory_shape_contract():
+    with pytest.raises(ValueError, match="must match"):
+        ring_attention_prefill(
+            jnp.zeros((1, 8, 2, 16), jnp.bfloat16),
+            jnp.zeros((1, 8, 2, 8), jnp.bfloat16),
+            jnp.zeros((1, 8, 2, 16), jnp.bfloat16),
+            axis_name="model", cp=1)
+
+
+def test_ring_uses_collective_permute():
+    cp = 8
+    b, s, h, d = 1, 8 * cp, 1, 16
+    q, k, v = _qkv(b, s, h, d, seed=3)
+    mesh = make_mesh(tp=cp)
+    f = jax.jit(shard_map(
+        lambda ql, kl, vl: ring_attention_prefill(
+            ql, kl, vl, axis_name="model", cp=cp),
+        mesh,
+        in_specs=(P(None, "model"),) * 3,
+        out_specs=P(None, "model")))
+    hlo = f.lower(q, k, v).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo and "all-reduce" not in hlo
