@@ -70,17 +70,26 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
     static ring size. Returns the (b, s_local, heads, head_dim) attention
     output for the local query rows — numerically the same online-softmax
     math as flash attention, so it matches full-sequence attention to f32
-    rounding. GQA callers broadcast KV heads before sharding.
+    rounding. GQA is native: k/v may carry fewer heads (h % hk == 0); the
+    ring rotates the small KV and expands it locally per hop.
     """
     b, s_local, h, d = q.shape
-    if k.shape != q.shape or v.shape != q.shape:
+    if k.shape != v.shape:
+        raise ValueError(f"k/v shards must match, got {k.shape} / {v.shape}")
+    hk = k.shape[2]
+    if (k.shape[0], k.shape[1], k.shape[3]) != (b, s_local, d) or h % hk:
         raise ValueError(f"q/k/v shards must match, got {q.shape} / "
-                         f"{k.shape} / {v.shape}")
+                         f"{k.shape} / {v.shape} (q heads must be a "
+                         f"multiple of kv heads)")
+    # GQA: the ring rotates the SMALL (hk-head) KV — ICI traffic shrinks by
+    # the GQA ratio — and each hop expands it locally for the dot.
+    expand = ((lambda x: jnp.repeat(x, h // hk, axis=2)) if hk != h
+              else (lambda x: x))
     scale = 1.0 / (d ** 0.5)
     if cp == 1:
         mask = (jnp.tril(jnp.ones((s_local, s_local), bool)) if causal
                 else jnp.ones((s_local, s_local), bool))
-        acc, m, l = _chunk_attn(q, k, v, mask, scale)
+        acc, m, l = _chunk_attn(q, expand(k), expand(v), mask, scale)
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)
 
     idx = lax.axis_index(axis_name)
@@ -97,12 +106,12 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
     # (idx + s) % cp (same convention as overlap.all_gather_gemm).
     perm = [((i + 1) % cp, i) for i in range(cp)]
     kv = (k, v)
-    state = _chunk_attn(q, k, v, hop_mask(idx), scale)
+    state = _chunk_attn(q, expand(k), expand(v), hop_mask(idx), scale)
     for s in range(1, cp):
         kv = (lax.ppermute(kv[0], axis_name, perm),
               lax.ppermute(kv[1], axis_name, perm))
         owner = (idx + s) % cp
-        state = _merge(state, _chunk_attn(q, kv[0], kv[1],
+        state = _merge(state, _chunk_attn(q, expand(kv[0]), expand(kv[1]),
                                           hop_mask(owner), scale))
     acc, _, l = state
     return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)

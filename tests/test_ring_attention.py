@@ -59,6 +59,26 @@ def test_ring_attention_matches_full(cp, causal):
     np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
 
 
+def test_ring_attention_gqa_matches_broadcast():
+    """GQA (fewer kv heads) must equal the kv-broadcast formulation —
+    the ring rotates the small KV and expands per hop."""
+    cp, b, s, h, hk, d = 4, 1, 32, 4, 2, 16
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)) * 0.5, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hk, d)) * 0.5, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hk, d)) * 0.5, jnp.bfloat16)
+    mesh = make_mesh(tp=cp)
+    run = lambda kk, vv: np.asarray(jax.jit(shard_map(
+        lambda ql, kl, vl: ring_attention_prefill(
+            ql, kl, vl, axis_name="model", cp=cp),
+        mesh, in_specs=(P(None, "model"),) * 3,
+        out_specs=P(None, "model")))(q, kk, vv), np.float32)
+    out_gqa = run(k, v)
+    out_bcast = run(jnp.repeat(k, h // hk, axis=2),
+                    jnp.repeat(v, h // hk, axis=2))
+    np.testing.assert_allclose(out_gqa, out_bcast, rtol=1e-5, atol=1e-5)
+
+
 def test_ring_attention_cp1_matches_full():
     b, s, h, d = 1, 32, 2, 16
     q, k, v = _qkv(b, s, h, d, seed=9)
