@@ -24,7 +24,33 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ring_attention_prefill"]
+__all__ = ["ring_attention_prefill", "zigzag_order", "zigzag_inverse"]
+
+
+def zigzag_order(cp: int, s_total: int):
+    """Row permutation for the zigzag schedule: rank r owns sequence
+    chunks r and 2cp-1-r (of 2cp equal chunks), so causal work balances —
+    every off-diagonal hop costs exactly half a full hop on every rank.
+    Apply to the sequence axis BEFORE sharding with P(..., axis, ...);
+    invert the OUTPUT rows with :func:`zigzag_inverse`.
+    """
+    if s_total % (2 * cp):
+        raise ValueError(f"s_total={s_total} must divide into 2*cp={2*cp} "
+                         f"equal chunks")
+    sc = s_total // (2 * cp)
+    order = []
+    for r in range(cp):
+        order += list(range(r * sc, (r + 1) * sc))
+        order += list(range((2 * cp - 1 - r) * sc, (2 * cp - r) * sc))
+    import numpy as np
+    return np.asarray(order)
+
+
+def zigzag_inverse(cp: int, s_total: int):
+    import numpy as np
+    inv = np.empty(s_total, np.int64)
+    inv[zigzag_order(cp, s_total)] = np.arange(s_total)
+    return inv
 
 
 def _chunk_attn(q, k, v, mask, scale):
@@ -61,6 +87,7 @@ def _merge(state, new):
 
 def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
                            causal: bool = True,
+                           schedule: str = "contiguous",
                            out_dtype=jnp.bfloat16) -> jax.Array:
     """Context-parallel attention over sequence-sharded q/k/v.
 
@@ -72,6 +99,17 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
     math as flash attention, so it matches full-sequence attention to f32
     rounding. GQA is native: k/v may carry fewer heads (h % hk == 0); the
     ring rotates the small KV and expands it locally per hop.
+
+    ``schedule``:
+    * ``"contiguous"`` — shard i holds rows [i·s_local, (i+1)·s_local);
+      simple, but causal hops above the diagonal are fully masked, so
+      rank 0 wastes (cp-1)/cp of its hop compute (classic unbalanced ring).
+    * ``"zigzag"`` — shard i holds chunks i and 2cp-1-i of 2cp chunks
+      (pre-permute rows with :func:`zigzag_order`, un-permute the output
+      with :func:`zigzag_inverse`). Every off-diagonal hop then computes
+      EXACTLY half a hop on every rank — one unmasked (s_local × s_local/2)
+      block chosen by a rank-order ``lax.cond`` (equal cost both branches)
+      — so causal work is load-balanced across the ring.
     """
     b, s_local, h, d = q.shape
     if k.shape != v.shape:
@@ -92,15 +130,26 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
         acc, m, l = _chunk_attn(q, expand(k), expand(v), mask, scale)
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)
 
+    if schedule not in ("contiguous", "zigzag"):
+        raise ValueError(f"schedule must be contiguous|zigzag, "
+                         f"got {schedule!r}")
+    zig = schedule == "zigzag"
+    if zig and s_local % 2:
+        raise ValueError("zigzag needs an even local row count (two chunks)")
     idx = lax.axis_index(axis_name)
-    rows = jnp.arange(s_local)
-    q_pos = idx * s_local + rows                       # (s_local,) global
+    sc = s_local // 2
+    if zig:
+        ar = jnp.arange(sc)
+        pos_of = lambda r: jnp.concatenate([r * sc + ar,
+                                            (2 * cp - 1 - r) * sc + ar])
+    else:
+        pos_of = lambda r: r * s_local + jnp.arange(s_local)
+    q_pos = pos_of(idx)                                # (s_local,) global
 
     def hop_mask(kv_owner):
-        k_pos = kv_owner * s_local + rows
         if not causal:
             return jnp.ones((s_local, s_local), bool)
-        return q_pos[:, None] >= k_pos[None, :]
+        return q_pos[:, None] >= pos_of(kv_owner)[None, :]
 
     # Reverse ring: after s hops this rank holds the KV shard of rank
     # (idx + s) % cp (same convention as overlap.all_gather_gemm).
@@ -111,7 +160,35 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
         kv = (lax.ppermute(kv[0], axis_name, perm),
               lax.ppermute(kv[1], axis_name, perm))
         owner = (idx + s) % cp
-        state = _merge(state, _chunk_attn(q, expand(kv[0]), expand(kv[1]),
-                                          hop_mask(owner), scale))
+        if zig and causal:
+            # Balanced hop: exactly HALF a hop of unmasked work, either
+            # way (equal-cost cond branches; see docstring).
+            def gt_case(kv0=kv[0], kv1=kv[1]):
+                # idx > owner: both local q chunks attend the owner's LOW
+                # chunk (global id = owner < idx) — fully visible.
+                return _chunk_attn(q, expand(kv0[:, :sc]),
+                                   expand(kv1[:, :sc]),
+                                   jnp.ones((s_local, sc), bool), scale)
+
+            def lt_case(kv0=kv[0], kv1=kv[1]):
+                # idx < owner: only the local HIGH chunk (global id
+                # 2cp-1-idx > both owner chunk ids) attends — both owner
+                # chunks fully visible; pad the low-chunk rows with the
+                # empty softmax state so shapes match the other branch.
+                acc, m, l = _chunk_attn(q[:, sc:], expand(kv0),
+                                        expand(kv1),
+                                        jnp.ones((sc, s_local), bool),
+                                        scale)
+                zacc = jnp.zeros((b, sc) + acc.shape[2:], acc.dtype)
+                zm = jnp.full((b, sc) + m.shape[2:], -jnp.inf, m.dtype)
+                zl = jnp.zeros((b, sc) + l.shape[2:], l.dtype)
+                return (jnp.concatenate([zacc, acc], axis=1),
+                        jnp.concatenate([zm, m], axis=1),
+                        jnp.concatenate([zl, l], axis=1))
+
+            state = _merge(state, lax.cond(idx > owner, gt_case, lt_case))
+        else:
+            state = _merge(state, _chunk_attn(
+                q, expand(kv[0]), expand(kv[1]), hop_mask(owner), scale))
     acc, _, l = state
     return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)

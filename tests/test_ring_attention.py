@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from deepgemm_ascend_tpu.parallel import make_mesh
-from deepgemm_ascend_tpu.parallel.ring_attention import ring_attention_prefill
+from deepgemm_ascend_tpu.parallel.ring_attention import (
+    ring_attention_prefill, zigzag_inverse, zigzag_order)
 from deepgemm_ascend_tpu.parallel.sharded import shard_map
 
 P = jax.sharding.PartitionSpec
@@ -57,6 +58,35 @@ def test_ring_attention_matches_full(cp, causal):
     out = np.asarray(f(q, k, v), np.float32)
     ref = _ref_attention(q, k, v, causal)
     np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("cp", [2, 4, 8])
+def test_zigzag_schedule_matches_full(cp):
+    """The load-balanced zigzag schedule must be numerically identical to
+    full attention after un-permuting the output rows."""
+    b, s, h, d = 2, 8 * 2 * cp, 2, 32
+    q, k, v = _qkv(b, s, h, d, seed=20 + cp)
+    order = zigzag_order(cp, s)
+    inv = zigzag_inverse(cp, s)
+    mesh = make_mesh(tp=cp)
+    f = jax.jit(shard_map(
+        lambda ql, kl, vl: ring_attention_prefill(
+            ql, kl, vl, axis_name="model", cp=cp, schedule="zigzag"),
+        mesh,
+        in_specs=(P(None, "model"),) * 3,
+        out_specs=P(None, "model")))
+    out_z = np.asarray(f(q[:, order], k[:, order], v[:, order]), np.float32)
+    ref = _ref_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out_z[:, inv], ref, rtol=5e-2, atol=5e-2)
+
+
+def test_zigzag_order_roundtrip():
+    order = zigzag_order(4, 32)
+    inv = zigzag_inverse(4, 32)
+    x = np.arange(32)
+    assert (x[order][inv] == x).all()
+    # rank 0 owns chunks 0 and 7 of 8
+    assert list(order[:8]) == list(range(0, 4)) + list(range(28, 32))
 
 
 def test_ring_attention_gqa_matches_broadcast():
