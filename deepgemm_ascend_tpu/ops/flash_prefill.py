@@ -38,8 +38,12 @@ __all__ = ["flash_prefill_gqa"]
 
 
 def _kernel(start_ref, len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-            o_ref, m_ref, l_ref, acc_ref, *,
-            block_q: int, block_s: int, ns: int, g: int, scale: float):
+            o_ref, *outs, block_q: int, block_s: int, ns: int, g: int,
+            scale: float, return_stats: bool = False):
+    if return_stats:
+        mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs
+    else:
+        m_ref, l_ref, acc_ref = outs
     b = pl.program_id(0)
     kvi = pl.program_id(1)
     qi = pl.program_id(2)
@@ -82,21 +86,31 @@ def _kernel(start_ref, len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     @pl.when(si == ns - 1)
     def _store():
-        out = finalize(l_ref, acc_ref, o_ref.dtype)
-        o_ref[0, 0] = out.reshape(g, block_q, o_ref.shape[-1])
+        if return_stats:
+            # Raw online-softmax state for cross-chunk merging (ring
+            # attention): unnormalized acc + per-row (m, l).
+            hd = o_ref.shape[-1]
+            o_ref[0, 0] = acc_ref[:].reshape(g, block_q, hd)
+            mo_ref[0, 0] = m_ref[:, 0:1].reshape(g, block_q, 1)
+            lo_ref[0, 0] = l_ref[:, 0:1].reshape(g, block_q, 1)
+        else:
+            out = finalize(l_ref, acc_ref, o_ref.dtype)
+            o_ref[0, 0] = out.reshape(g, block_q, o_ref.shape[-1])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_s", "interpret"))
+                   static_argnames=("block_q", "block_s", "interpret",
+                                    "return_stats"))
 def _call(start, seq_lens, q, k_q, k_s, v_q, v_s, *,
-          block_q, block_s, interpret):
+          block_q, block_s, interpret, return_stats=False):
     b, kvh, g, s, hd = q.shape
     s_max = k_q.shape[2]
     nq = s // block_q
     ns = s_max // block_s
     scale = 1.0 / math.sqrt(hd)
     kernel = functools.partial(_kernel, block_q=block_q, block_s=block_s,
-                               ns=ns, g=g, scale=scale)
+                               ns=ns, g=g, scale=scale,
+                               return_stats=return_stats)
 
     def kv_map(bi, kvi, qi, si, start, lens):
         # Clamp unneeded S blocks (future of this q block / past seq_len)
@@ -122,9 +136,16 @@ def _call(start, seq_lens, q, k_q, k_s, v_q, v_s, *,
             pl.BlockSpec((1, 1, block_s, hd), kv_map),
             pl.BlockSpec((1, kvh, block_s), kv_map3),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, g, block_q, hd),
-            lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0)),
+        out_specs=(
+            (pl.BlockSpec((1, 1, g, block_q, hd),
+                          lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0)),
+             pl.BlockSpec((1, 1, g, block_q, 1),
+                          lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0)),
+             pl.BlockSpec((1, 1, g, block_q, 1),
+                          lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0)))
+            if return_stats else
+            pl.BlockSpec((1, 1, g, block_q, hd),
+                         lambda bi, kvi, qi, si, st, ln: (bi, kvi, 0, qi, 0))),
         scratch_shapes=[
             pltpu.VMEM((g * block_q, 128), jnp.float32),
             pltpu.VMEM((g * block_q, 128), jnp.float32),
@@ -136,10 +157,16 @@ def _call(start, seq_lens, q, k_q, k_s, v_q, v_s, *,
         params["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"))
+    out_shape = (
+        (jax.ShapeDtypeStruct((b, kvh, g, s, hd), jnp.float32),
+         jax.ShapeDtypeStruct((b, kvh, g, s, 1), jnp.float32),
+         jax.ShapeDtypeStruct((b, kvh, g, s, 1), jnp.float32))
+        if return_stats else
+        jax.ShapeDtypeStruct((b, kvh, g, s, hd), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvh, g, s, hd), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         **params,
     )(start, seq_lens, q, k_q, k_s, v_q, v_s)
@@ -157,11 +184,19 @@ def flash_prefill_gqa(
     block_q: int = 512,
     block_s: int = 2048,
     interpret: Optional[bool] = None,
+    return_stats: bool = False,
 ) -> jax.Array:
     """Causal GQA prefill over the int8 cache. Returns (b, s, heads, hd) f32.
 
     Query row i of batch b is at absolute position start[b] + i and attends
     cache positions t with ``t <= start[b] + i`` and ``t < seq_lens[b]``.
+    ``start`` may be NEGATIVE (ring-attention hops use a relative offset):
+    rows before position 0 see nothing and report the empty state.
+
+    ``return_stats``: return the raw online-softmax state instead of the
+    normalized output — (acc (b, s, heads, hd) f32 unnormalized,
+    m (b, s, heads) f32 row max with NEG_INF = empty, l (b, s, heads) f32
+    exp-sum) — for cross-chunk merging (parallel/ring_attention.py).
 
     Default blocks are on-chip-tuned (scripts/tune_flash_prefill.py, v5e,
     b=8 s=512 S=2048): like the decode kernel, per-(batch, head) cache DMAs
@@ -201,5 +236,11 @@ def flash_prefill_gqa(
     out = _call(jnp.asarray(start, jnp.int32),
                 jnp.asarray(seq_lens, jnp.int32), qg, k_q,
                 k_s.astype(jnp.float32), v_q, v_s.astype(jnp.float32),
-                block_q=bq, block_s=bs, interpret=interpret)
-    return out.transpose(0, 3, 1, 2, 4).reshape(b, s, heads, hd)
+                block_q=bq, block_s=bs, interpret=interpret,
+                return_stats=return_stats)
+    unpack = lambda x: (x.transpose(0, 3, 1, 2, 4)
+                        .reshape(b, s, heads, x.shape[-1]))
+    if return_stats:
+        acc, m, l = out
+        return unpack(acc), unpack(m)[..., 0], unpack(l)[..., 0]
+    return unpack(out)

@@ -10,12 +10,14 @@ latency-hiding scheduler (same decomposition discipline as
 ``parallel/overlap.py``).
 
 The reference has no long-context/CP story at all (SURVEY §5); this is the
-TPU-native mechanism for it. The per-chunk attention is plain XLA einsum +
-f32 online-softmax here — correct and fusion-friendly; routing the chunk
-through the Pallas flash-prefill kernel (which would need (m, l) running
-outputs exposed) is the documented next optimization. Work on the strictly-
-upper-triangle hops is masked rather than skipped (classic unbalanced ring;
-zigzag load balancing is future work).
+TPU-native mechanism for it. Three entry points:
+
+* :func:`ring_attention_prefill` — bf16 q/k/v, XLA einsum chunks; supports
+  the contiguous schedule AND the load-balanced zigzag schedule.
+* :func:`ring_flash_prefill` — the production form over the INT8 KV cache:
+  each hop runs the Pallas flash-prefill kernel (``return_stats``) and the
+  raw (acc, m, l) states merge across hops.
+* :func:`zigzag_order` / :func:`zigzag_inverse` — zigzag layout helpers.
 """
 
 from __future__ import annotations
@@ -24,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ring_attention_prefill", "zigzag_order", "zigzag_inverse"]
+__all__ = ["ring_attention_prefill", "ring_flash_prefill",
+           "zigzag_order", "zigzag_inverse"]
 
 
 def zigzag_order(cp: int, s_total: int):
@@ -192,3 +195,48 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
                 q, expand(kv[0]), expand(kv[1]), hop_mask(owner), scale))
     acc, _, l = state
     return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)
+
+
+def ring_flash_prefill(q, k_q, k_s, v_q, v_s, *, axis_name: str, cp: int,
+                       block_q: int = 512, block_s: int = 2048,
+                       out_dtype=jnp.bfloat16) -> jax.Array:
+    """CP prefill over the INT8 KV cache with Pallas flash chunks.
+
+    The production form of :func:`ring_attention_prefill` (contiguous
+    schedule, causal): the per-hop chunk attention runs the flash-prefill
+    kernel (``ops/flash_prefill.py`` — K/V stay int8 until the MXU, online
+    softmax in VMEM) with ``return_stats``, and the raw (acc, m, l) states
+    merge across hops. Causality across shards rides the kernel's own
+    ``start`` offset: the arriving chunk of ``owner`` is presented at
+    relative start ``(idx - owner) * s_local`` — negative → future chunk,
+    fully masked inside the kernel; ≥ s_local → fully visible.
+
+    Per shard: q (b, s_local, heads, hd); k_q/v_q (b, kvh, s_local, hd)
+    int8 with (b, kvh, s_local) f32 per-token scales — the serving cache
+    layout, sharded on the sequence dim over ``axis_name``.
+    """
+    from ..ops.flash_prefill import flash_prefill_gqa
+
+    b, s_local, heads, hd = q.shape
+    seq = jnp.full((b,), s_local, jnp.int32)
+
+    def hop(owner_off, kq, ks, vq, vs):
+        start = jnp.full((b,), owner_off * s_local, jnp.int32)
+        return flash_prefill_gqa(q, kq, ks, vq, vs, start, seq,
+                                 block_q=block_q, block_s=block_s,
+                                 return_stats=True)
+
+    if cp == 1:
+        acc, _, l = hop(0, k_q, k_s, v_q, v_s)
+        return (acc / jnp.maximum(l[..., None], 1e-30)).astype(out_dtype)
+
+    idx = lax.axis_index(axis_name)
+    perm = [((i + 1) % cp, i) for i in range(cp)]   # reverse ring
+    kv = (k_q, k_s, v_q, v_s)
+    state = hop(0, *kv)                              # own chunk: diagonal
+    for s in range(1, cp):
+        kv = tuple(lax.ppermute(x, axis_name, perm) for x in kv)
+        owner = (idx + s) % cp
+        state = _merge(state, hop(idx - owner, *kv))
+    acc, _, l = state
+    return (acc / jnp.maximum(l[..., None], 1e-30)).astype(out_dtype)

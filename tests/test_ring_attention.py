@@ -89,6 +89,47 @@ def test_zigzag_order_roundtrip():
     assert list(order[:8]) == list(range(0, 4)) + list(range(28, 32))
 
 
+@pytest.mark.parametrize("cp", [2, 4])
+def test_ring_flash_prefill_matches_reference(cp):
+    """The Pallas-chunk int8-cache CP prefill must match full-sequence
+    attention computed on the DEQUANTIZED cache values."""
+    from deepgemm_ascend_tpu.ops import quant
+    from deepgemm_ascend_tpu.parallel.ring_attention import \
+        ring_flash_prefill
+
+    b, s, heads, kvh, d = 2, 32 * cp, 4, 2, 64
+    rng = np.random.default_rng(cp)
+    q = jnp.asarray(rng.standard_normal((b, s, heads, d)) * 0.5,
+                    jnp.bfloat16)
+    k = rng.standard_normal((b, kvh, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, kvh, s, d)).astype(np.float32)
+    k_q, k_s = quant.quantize_int8(jnp.asarray(k), axis=-1)
+    v_q, v_s = quant.quantize_int8(jnp.asarray(v), axis=-1)
+    k_s, v_s = k_s[..., 0], v_s[..., 0]
+
+    mesh = make_mesh(tp=cp)
+    f = jax.jit(shard_map(
+        lambda ql, kq, ks, vq, vs: ring_flash_prefill(
+            ql, kq, ks, vq, vs, axis_name="model", cp=cp,
+            block_q=16, block_s=128),
+        mesh,
+        in_specs=(P(None, "model"), P(None, None, "model"),
+                  P(None, None, "model"), P(None, None, "model"),
+                  P(None, None, "model")),
+        out_specs=P(None, "model")))
+    out = np.asarray(f(q, k_q, k_s, v_q, v_s), np.float32)
+
+    # reference on the dequantized cache (same values the kernel sees),
+    # broadcast to q heads
+    kd = np.asarray(k_q, np.float32) * np.asarray(k_s)[..., None]
+    vd = np.asarray(v_q, np.float32) * np.asarray(v_s)[..., None]
+    g = heads // kvh
+    kd = np.repeat(kd, g, axis=1).transpose(0, 2, 1, 3)   # (b, s, heads, d)
+    vd = np.repeat(vd, g, axis=1).transpose(0, 2, 1, 3)
+    ref = _ref_attention(q, jnp.asarray(kd), jnp.asarray(vd), causal=True)
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+
+
 def test_ring_attention_gqa_matches_broadcast():
     """GQA (fewer kv heads) must equal the kv-broadcast formulation —
     the ring rotates the small KV and expands per hop."""
