@@ -42,8 +42,10 @@ def _qkv(b, s, h, d, seed=0):
     return mk(), mk(), mk()
 
 
-@pytest.mark.parametrize("cp,causal", [(2, True), (4, True), (8, True),
-                                       (4, False)])
+@pytest.mark.parametrize("cp,causal", [
+    (2, True), (4, True),
+    pytest.param(8, True, marks=pytest.mark.slow),  # cp 2/4 cover the ring
+    (4, False)])
 def test_ring_attention_matches_full(cp, causal):
     b, s, h, d = 2, 16 * cp, 2, 32
     q, k, v = _qkv(b, s, h, d, seed=cp)
@@ -60,7 +62,8 @@ def test_ring_attention_matches_full(cp, causal):
     np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
 
 
-@pytest.mark.parametrize("cp", [2, 4, 8])
+@pytest.mark.parametrize("cp", [
+    2, 4, pytest.param(8, marks=pytest.mark.slow)])
 def test_zigzag_schedule_matches_full(cp):
     """The load-balanced zigzag schedule must be numerically identical to
     full attention after un-permuting the output rows."""
