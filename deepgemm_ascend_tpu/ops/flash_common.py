@@ -39,6 +39,11 @@ def online_softmax_update(s, v, v_s, m_ref, l_ref, acc_ref) -> None:
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
+    # Rows with NO unmasked score yet (m_new still at the NEG_INF init):
+    # exp(NEG_INF - NEG_INF) = 1 would pollute l/acc with a full block of
+    # garbage — e.g. a prefill q-block straddling position 0 under a
+    # negative ring start, or an empty cache in decode. Keep them empty.
+    p = jnp.where(m_new > NEG_INF * 0.5, p, 0.0)
     l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_ref[:, 0:1] = m_new
     pv = jnp.dot((p * v_s).astype(jnp.bfloat16), v,

@@ -185,8 +185,9 @@ def flash_prefill_gqa(
     block_s: int = 2048,
     interpret: Optional[bool] = None,
     return_stats: bool = False,
-) -> jax.Array:
-    """Causal GQA prefill over the int8 cache. Returns (b, s, heads, hd) f32.
+):
+    """Causal GQA prefill over the int8 cache. Returns (b, s, heads, hd) f32
+    (or the 3-tuple described under ``return_stats``).
 
     Query row i of batch b is at absolute position start[b] + i and attends
     cache positions t with ``t <= start[b] + i`` and ``t < seq_lens[b]``.

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .overlap import _ring_perm
+
 __all__ = ["ring_attention_prefill", "ring_flash_prefill",
            "zigzag_order", "zigzag_inverse"]
 
@@ -127,15 +129,15 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
     expand = ((lambda x: jnp.repeat(x, h // hk, axis=2)) if hk != h
               else (lambda x: x))
     scale = 1.0 / (d ** 0.5)
+    if schedule not in ("contiguous", "zigzag"):
+        raise ValueError(f"schedule must be contiguous|zigzag, "
+                         f"got {schedule!r}")
     if cp == 1:
         mask = (jnp.tril(jnp.ones((s_local, s_local), bool)) if causal
                 else jnp.ones((s_local, s_local), bool))
         acc, m, l = _chunk_attn(q, expand(k), expand(v), mask, scale)
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(out_dtype)
 
-    if schedule not in ("contiguous", "zigzag"):
-        raise ValueError(f"schedule must be contiguous|zigzag, "
-                         f"got {schedule!r}")
     zig = schedule == "zigzag"
     if zig and s_local % 2:
         raise ValueError("zigzag needs an even local row count (two chunks)")
@@ -156,7 +158,7 @@ def ring_attention_prefill(q, k, v, *, axis_name: str, cp: int,
 
     # Reverse ring: after s hops this rank holds the KV shard of rank
     # (idx + s) % cp (same convention as overlap.all_gather_gemm).
-    perm = [((i + 1) % cp, i) for i in range(cp)]
+    perm = _ring_perm(cp, reverse=True)
     kv = (k, v)
     state = _chunk_attn(q, expand(k), expand(v), hop_mask(idx), scale)
     for s in range(1, cp):
@@ -231,7 +233,7 @@ def ring_flash_prefill(q, k_q, k_s, v_q, v_s, *, axis_name: str, cp: int,
         return (acc / jnp.maximum(l[..., None], 1e-30)).astype(out_dtype)
 
     idx = lax.axis_index(axis_name)
-    perm = [((i + 1) % cp, i) for i in range(cp)]   # reverse ring
+    perm = _ring_perm(cp, reverse=True)
     kv = (k_q, k_s, v_q, v_s)
     state = hop(0, *kv)                              # own chunk: diagonal
     for s in range(1, cp):
