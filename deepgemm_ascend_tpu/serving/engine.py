@@ -47,6 +47,44 @@ def _jitted_decode_step(cfg: ModelConfig):
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_verify(cfg: ModelConfig, k: int):
+    """Speculative-verification program, memoized per (cfg, k): run every
+    slot's [current token, k drafted tokens] through the model in ONE
+    fixed-shape dispatch (positions seq_lens..seq_lens+k, cache rows
+    written in place) and return the greedy next token at each position.
+    Rows past a slot's accepted prefix are stale-but-invalid: the cache
+    masks by valid length and every position is rewritten before it is
+    ever attended, so host-side acceptance needs no device rollback."""
+    s = k + 1
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def verify(params, toks, caches, lens):
+        pos = lens[:, None] + jnp.arange(s)[None, :]
+        logits, caches = forward(params, toks, caches, pos, lens + s, cfg,
+                                 prefill_start=lens)
+        return jnp.argmax(logits, -1).astype(jnp.int32), caches
+
+    return verify
+
+
+def _draft_prompt_lookup(hist: List[int], k: int, n: int = 3) -> List[int]:
+    """Prompt-lookup (n-gram) drafting: find the most recent earlier
+    occurrence of the last n-gram and propose the k tokens that followed
+    it — free drafts that hit hard on repetitive spans (code, quoting,
+    structured output). No match → repeat the last token (cheap; rejected
+    after one position at worst)."""
+    if len(hist) >= n + 1:
+        tail = hist[-n:]
+        for i in range(len(hist) - n - 1, -1, -1):
+            if hist[i:i + n] == tail:
+                cont = hist[i + n:i + n + k]
+                if cont:
+                    return (cont + [cont[-1]] * (k - len(cont)))[:k]
+    last = hist[-1] if hist else 0
+    return [last] * k
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_prefill(cfg: ModelConfig, max_slots: int, bucket: int,
                     s_pad: int):
     """Batched-admission prefill program, memoized per
@@ -110,6 +148,7 @@ def clear_program_cache() -> None:
     from ..parallel import sharded as _sh
     _jitted_decode_step.cache_clear()
     _jitted_prefill.cache_clear()
+    _jitted_verify.cache_clear()
     _sh.clear_program_memo()
 
 
@@ -161,6 +200,7 @@ class Engine:
         decode_chunk: int = 1,
         seed: int = 0,
         prefix_cache_slots: int = 0,
+        speculative_k: int = 0,
     ):
         """``decode_chunk``: decode N tokens per engine iteration in ONE
         device dispatch (lax.scan with in-graph sampling). Amortizes the
@@ -191,6 +231,22 @@ class Engine:
         self.decode_chunk = max(int(decode_chunk), 1)
         self._key = jax.random.PRNGKey(seed)
         self._mesh = mesh
+
+        # Greedy speculative decoding (prompt-lookup drafts, k-token
+        # verification in one dispatch). LOSSLESS for greedy sampling: the
+        # emitted tokens are always the verify program's own argmaxes —
+        # drafts only decide how many land per dispatch.
+        self.spec_k = max(int(speculative_k), 0)
+        self._verify_fn = None
+        if self.spec_k:
+            if mesh is not None or self.decode_chunk > 1:
+                raise ValueError("speculative_k requires single-device "
+                                 "mode with decode_chunk=1")
+            if temperature != 0.0 or top_k or (top_p and top_p < 1.0):
+                raise ValueError("speculative_k requires greedy sampling "
+                                 "(temperature 0, no top-k/top-p) — "
+                                 "greedy verification is lossless")
+            self._verify_fn = _jitted_verify(cfg, self.spec_k)
 
         self._decode_sampled = None
         if mesh is not None:
@@ -364,6 +420,77 @@ class Engine:
                              top_k=self.top_k, top_p=self.top_p)
 
     # -- main loop ------------------------------------------------------------
+    def _spec_decode(self, active, sched, emitted) -> bool:
+        """One speculative iteration: draft k tokens per slot (prompt
+        lookup over the slot's full history), verify all slots in ONE
+        (max_slots, k+1) dispatch, emit each slot's accepted prefix plus
+        the bonus token (1..k+1 tokens/slot/dispatch). Returns False when
+        any active slot is within k+1 rows of the cache end (caller falls
+        back to plain decode for the sequence tail)."""
+        k = self.spec_k
+        lens_np = np.asarray(self.seq_lens)
+        if int(lens_np[active].max()) + k + 1 > self.max_seq_len:
+            return False
+        last_np = np.asarray(self.last_tokens)
+        mask = np.zeros((self.max_slots,), bool)
+        mask[active] = True
+        toks = np.zeros((self.max_slots, k + 1), np.int32)
+        for slot in active:
+            req = sched.running[slot]
+            hist = list(req.prompt) + list(req.output)
+            toks[slot, 0] = last_np[slot]
+            toks[slot, 1:] = _draft_prompt_lookup(hist, k)
+
+        t0 = time.perf_counter()
+        # Inactive slots run at lens 0: their rows 0..k are scribbled but
+        # invalid (rewritten by their next prefill) and never out of bounds.
+        greedy, self.caches = self._verify_fn(
+            self.params, jnp.asarray(toks), self.caches,
+            jnp.asarray(np.where(mask, lens_np, 0).astype(np.int32)))
+        g_np = np.asarray(greedy)                      # (slots, k+1)
+        self.stats["decode_time_s"] += time.perf_counter() - t0
+        self.stats["decode_steps"] += 1
+        self.stats["decode_slot_steps"] += (k + 1) * len(active)
+
+        acc = {}
+        for slot in active:
+            a = 0
+            while a < k and toks[slot, a + 1] == g_np[slot, a]:
+                a += 1
+            acc[slot] = a
+            metrics.inc("engine.spec_proposed", k)
+            metrics.inc("engine.spec_accepted", a)
+        emitted_counts = {s: 0 for s in active}
+        for t in range(k + 1):
+            slot_tokens = {}
+            for slot in active:
+                if t > acc[slot]:
+                    continue
+                req = sched.running.get(slot)
+                if req is None:            # finished earlier in this batch
+                    continue
+                tok = int(g_np[slot, t])
+                slot_tokens[slot] = tok
+                emitted.setdefault(req.req_id, []).append(tok)
+                emitted_counts[slot] += 1
+            if not slot_tokens:
+                break
+            self.stats["tokens_out"] += len(slot_tokens)
+            self.stats["decode_tokens"] += len(slot_tokens)
+            metrics.inc("engine.tokens_out", len(slot_tokens))
+            for rid in sched.record_tokens(slot_tokens):
+                get_logger().info("req %d finished", rid)
+        new_lens, new_last = lens_np.copy(), last_np.copy()
+        for slot in active:
+            n_em = emitted_counts[slot]
+            if n_em:
+                new_lens[slot] = lens_np[slot] + n_em
+                new_last[slot] = g_np[slot, n_em - 1]
+        self.seq_lens = jnp.asarray(new_lens)
+        self.last_tokens = jnp.asarray(new_last)
+        metrics.gauge("engine.active_slots", len(sched.running))
+        return True
+
     def step(self) -> Dict[int, List[int]]:
         """One engine iteration: admit + prefill new requests, decode all
         active slots once. Returns {req_id: [tokens]} emitted this step
@@ -466,6 +593,11 @@ class Engine:
             sched.record_tokens(prefill_tokens)
 
         active = sched.active_slots()
+        if active and self._verify_fn is not None:
+            if self._spec_decode(active, sched, emitted):
+                return emitted
+            # else: sequence tail too close to max_seq for k+1 rows —
+            # fall through to the plain single-step path below.
         if active:
             chunk = self.decode_chunk if self._chunk_fn is not None else 1
             if chunk > 1:

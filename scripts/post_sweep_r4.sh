@@ -15,3 +15,6 @@ echo "=== int8 v2_lite fidelity eval done ==="
 python scripts/serve_bench.py --mode scan --model v2_lite \
     --expert-quant int8 --max-seq 2048 > serve_scan_int8_r4.log 2>&1
 echo "=== int8 v2_lite decode bench done ==="
+python scripts/serve_bench.py --mode engine --model v2_lite \
+    --speculative-k 4 > serve_spec_r4.log 2>&1
+echo "=== speculative-decode engine bench done ==="

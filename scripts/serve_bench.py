@@ -95,14 +95,22 @@ def _engine_mode(args):
     params = _params_for(args, cfg)
     eng = Engine(params, cfg, max_slots=args.batch,
                  max_seq_len=args.steps + 16,
-                 decode_chunk=args.decode_chunk)
+                 decode_chunk=args.decode_chunk,
+                 speculative_k=args.speculative_k)
     prompts = [[1, 2, 3]] * args.batch
     eng.generate(prompts, max_new_tokens=8)   # warm compiles
     eng.stats.update(decode_steps=0, tokens_out=0, decode_time_s=0.0)
     eng.generate(prompts, max_new_tokens=args.steps)
+    from deepgemm_ascend_tpu.utils.logging import metrics as _metrics
+    snap = _metrics.snapshot()
     print(json.dumps({
         "metric": "moe_decode_tokens_per_s", "mode": "engine",
         "expert_quant": args.expert_quant,
+        "speculative_k": args.speculative_k,
+        "spec_accept_rate": (
+            round(snap.get("engine.spec_accepted", 0)
+                  / max(snap.get("engine.spec_proposed", 0), 1), 3)
+            if args.speculative_k else None),
         "model": args.model, "slots": args.batch,
         "decode_chunk": args.decode_chunk,
         "tokens_per_s": round(eng.tokens_per_second, 1),
@@ -323,6 +331,9 @@ def main(argv=None) -> int:
     ap.add_argument("--expert-quant", choices=["fp8", "int8"], default="fp8",
                     help="scan/engine modes: run the MoE experts as W8A8 "
                          "int8 (2x MXU rate; models.params_with_int8_experts)")
+    ap.add_argument("--speculative-k", type=int, default=0,
+                    help="engine mode: greedy speculative decoding with k "
+                         "prompt-lookup drafts per dispatch (lossless)")
     args = ap.parse_args(argv)
     {"scan": _scan_mode, "engine": _engine_mode,
      "scaling": _scaling_mode, "chunksweep": _chunksweep_mode,

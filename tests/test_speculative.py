@@ -1,0 +1,99 @@
+"""Greedy speculative decoding (prompt-lookup drafts + k-token verify).
+
+Greedy verification is LOSSLESS by construction: emitted tokens are always
+the verify program's own argmaxes — drafts only decide how many land per
+dispatch. The strongest test therefore compares the SAME engine program
+under real drafts vs deliberately-useless drafts: identical outputs,
+different dispatch counts.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from deepgemm_ascend_tpu.models import TINY, init_params
+from deepgemm_ascend_tpu.serving import Engine
+from deepgemm_ascend_tpu.serving import engine as engine_mod
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+PROMPTS = [[5, 9, 2, 7], [3, 3, 8]]
+
+
+def _run(params, cfg, n_new=10, **kw):
+    eng = Engine(params, cfg, max_slots=2, max_seq_len=64, **kw)
+    outs = eng.generate(PROMPTS, max_new_tokens=n_new)
+    return outs, eng
+
+
+def test_spec_lossless_vs_garbage_drafts(model, monkeypatch):
+    cfg, params = model
+    out_real, eng_real = _run(params, cfg, speculative_k=3)
+    monkeypatch.setattr(engine_mod, "_draft_prompt_lookup",
+                        lambda hist, k, n=3: [(i * 7 + 1) % cfg.vocab_size
+                                              for i in range(k)])
+    out_junk, eng_junk = _run(params, cfg, speculative_k=3)
+    assert out_real == out_junk              # lossless regardless of drafts
+    # junk drafts advance ≥1 token per dispatch; never more slot-steps
+    # than real drafts would need
+    assert eng_junk.stats["decode_steps"] >= eng_real.stats["decode_steps"]
+
+
+def test_spec_output_shape_and_accounting(model):
+    """Spec mode produces the requested token counts with exact stats
+    accounting. (Token-for-token equality with the plain engine is NOT
+    asserted: the verify program is a (b, k+1) forward vs the plain
+    (b, 1) step — different fusion → ~2^-8 logit differences that flip
+    argmax near-ties on this random-weight model. Losslessness of the
+    ALGORITHM is what matters and is asserted exactly by
+    test_spec_lossless_vs_garbage_drafts, which compares identical
+    programs under different drafts.)"""
+    cfg, params = model
+    out_plain, _ = _run(params, cfg)
+    out_spec, eng = _run(params, cfg, speculative_k=3)
+    assert [len(o) for o in out_spec] == [len(o) for o in out_plain]
+    # first token per request comes from prefill (counted in tokens_out,
+    # not decode_tokens) — same split as the plain engine
+    assert (eng.stats["decode_tokens"]
+            == sum(len(o) for o in out_spec) - eng.stats["prefills"])
+    assert all(0 <= t < cfg.vocab_size for o in out_spec for t in o)
+
+
+def test_spec_respects_token_budget(model):
+    cfg, params = model
+    out, _ = _run(params, cfg, n_new=2, speculative_k=3)
+    assert [len(o) for o in out] == [2, 2]
+
+
+def test_spec_falls_back_near_cache_end(model):
+    cfg, params = model
+    eng = Engine(params, cfg, max_slots=1, max_seq_len=16, speculative_k=4)
+    out = eng.generate([[1, 2, 3, 4, 5, 6, 7, 8]], max_new_tokens=8)[0]
+    assert len(out) == 8                     # tail handled by plain decode
+
+
+def test_spec_requires_greedy_single_device(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="greedy"):
+        Engine(params, cfg, max_slots=1, speculative_k=2, temperature=0.7)
+    with pytest.raises(ValueError, match="decode_chunk"):
+        Engine(params, cfg, max_slots=1, speculative_k=2, decode_chunk=4)
+
+
+def test_draft_prompt_lookup_unit():
+    d = engine_mod._draft_prompt_lookup
+    # repeated trigram: last [7,8,9] matched earlier → propose what followed
+    assert d([7, 8, 9, 4, 5, 6, 7, 8, 9], 3) == [4, 5, 6]
+    # match mid-history: the continuation wraps into the repeat itself
+    assert d([1, 2, 3, 4, 1, 2, 3], 3) == [4, 1, 2]
+    # continuation shorter than k → padded with its last token
+    assert d([9, 1, 2, 3, 9, 9, 1, 2, 3], 2) == [9, 9]
+    # no match → repeat last token
+    assert d([1, 2, 3, 4, 5], 2) == [5, 5]
+    assert d([], 2) == [0, 0]
