@@ -46,16 +46,27 @@ def _jitted_decode_step(cfg: ModelConfig):
                    donate_argnums=(2,))
 
 
+# Verify-window width: padded to the flash-prefill grain (s % 16 == 0 —
+# attention.py gate) so the verification forward runs the FLASH kernel,
+# streaming the int8 cache once, instead of the XLA fallback that
+# dequantizes the whole cache per layer (~8× slower at 2048-token caches,
+# docs/BENCHMARKS.md). Decode is weight-streaming-bound, so the extra
+# window columns beyond k+1 are nearly free; their cache rows are
+# invalid-by-length like any rejected draft.
+_VERIFY_WINDOW = 16
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_verify(cfg: ModelConfig, k: int):
     """Speculative-verification program, memoized per (cfg, k): run every
-    slot's [current token, k drafted tokens] through the model in ONE
-    fixed-shape dispatch (positions seq_lens..seq_lens+k, cache rows
-    written in place) and return the greedy next token at each position.
-    Rows past a slot's accepted prefix are stale-but-invalid: the cache
-    masks by valid length and every position is rewritten before it is
-    ever attended, so host-side acceptance needs no device rollback."""
-    s = k + 1
+    slot's [current token, k drafted tokens, padding to the flash window]
+    through the model in ONE fixed-shape dispatch (positions
+    seq_lens..seq_lens+W-1, cache rows written in place) and return the
+    greedy next token at each position. Rows past a slot's accepted
+    prefix are stale-but-invalid: the cache masks by valid length and
+    every position is rewritten before it is ever attended, so host-side
+    acceptance needs no device rollback."""
+    s = max(_VERIFY_WINDOW, k + 1)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def verify(params, toks, caches, lens):
@@ -246,6 +257,9 @@ class Engine:
                 raise ValueError("speculative_k requires greedy sampling "
                                  "(temperature 0, no top-k/top-p) — "
                                  "greedy verification is lossless")
+            if self.spec_k >= _VERIFY_WINDOW:
+                raise ValueError(f"speculative_k must be < the verify "
+                                 f"window {_VERIFY_WINDOW}")
             self._verify_fn = _jitted_verify(cfg, self.spec_k)
 
         self._decode_sampled = None
@@ -428,18 +442,19 @@ class Engine:
         any active slot is within k+1 rows of the cache end (caller falls
         back to plain decode for the sequence tail)."""
         k = self.spec_k
+        w = max(_VERIFY_WINDOW, k + 1)
         lens_np = np.asarray(self.seq_lens)
-        if int(lens_np[active].max()) + k + 1 > self.max_seq_len:
+        if int(lens_np[active].max()) + w > self.max_seq_len:
             return False
         last_np = np.asarray(self.last_tokens)
         mask = np.zeros((self.max_slots,), bool)
         mask[active] = True
-        toks = np.zeros((self.max_slots, k + 1), np.int32)
+        toks = np.zeros((self.max_slots, w), np.int32)
         for slot in active:
             req = sched.running[slot]
             hist = list(req.prompt) + list(req.output)
             toks[slot, 0] = last_np[slot]
-            toks[slot, 1:] = _draft_prompt_lookup(hist, k)
+            toks[slot, 1:k + 1] = _draft_prompt_lookup(hist, k)
 
         t0 = time.perf_counter()
         # Inactive slots run at lens 0: their rows 0..k are scribbled but
@@ -450,7 +465,7 @@ class Engine:
         g_np = np.asarray(greedy)                      # (slots, k+1)
         self.stats["decode_time_s"] += time.perf_counter() - t0
         self.stats["decode_steps"] += 1
-        self.stats["decode_slot_steps"] += (k + 1) * len(active)
+        self.stats["decode_slot_steps"] += w * len(active)
 
         acc = {}
         for slot in active:
@@ -460,26 +475,8 @@ class Engine:
             acc[slot] = a
             metrics.inc("engine.spec_proposed", k)
             metrics.inc("engine.spec_accepted", a)
-        emitted_counts = {s: 0 for s in active}
-        for t in range(k + 1):
-            slot_tokens = {}
-            for slot in active:
-                if t > acc[slot]:
-                    continue
-                req = sched.running.get(slot)
-                if req is None:            # finished earlier in this batch
-                    continue
-                tok = int(g_np[slot, t])
-                slot_tokens[slot] = tok
-                emitted.setdefault(req.req_id, []).append(tok)
-                emitted_counts[slot] += 1
-            if not slot_tokens:
-                break
-            self.stats["tokens_out"] += len(slot_tokens)
-            self.stats["decode_tokens"] += len(slot_tokens)
-            metrics.inc("engine.tokens_out", len(slot_tokens))
-            for rid in sched.record_tokens(slot_tokens):
-                get_logger().info("req %d finished", rid)
+        emitted_counts = self._emit_tokens(g_np[:, :k + 1].T, active, sched,
+                                           emitted, row_limit=acc)
         new_lens, new_last = lens_np.copy(), last_np.copy()
         for slot in active:
             n_em = emitted_counts[slot]
@@ -490,6 +487,34 @@ class Engine:
         self.last_tokens = jnp.asarray(new_last)
         metrics.gauge("engine.active_slots", len(sched.running))
         return True
+
+    def _emit_tokens(self, out_rows, active, sched, emitted,
+                     row_limit=None) -> Dict[int, int]:
+        """Shared per-step emission: out_rows (T, slots) tokens; slots that
+        finish (EOS/budget) mid-batch stop emitting via the scheduler;
+        ``row_limit[slot]`` (inclusive) caps rows per slot (speculative
+        acceptance). Returns per-slot emitted counts."""
+        counts = {s: 0 for s in active}
+        for t in range(out_rows.shape[0]):
+            slot_tokens = {}
+            for slot in active:
+                if row_limit is not None and t > row_limit[slot]:
+                    continue
+                req = sched.running.get(slot)
+                if req is None:        # finished earlier in this batch
+                    continue
+                tok = int(out_rows[t, slot])
+                slot_tokens[slot] = tok
+                emitted.setdefault(req.req_id, []).append(tok)
+                counts[slot] += 1
+            if not slot_tokens:
+                break
+            self.stats["tokens_out"] += len(slot_tokens)
+            self.stats["decode_tokens"] += len(slot_tokens)
+            metrics.inc("engine.tokens_out", len(slot_tokens))
+            for rid in sched.record_tokens(slot_tokens):
+                get_logger().info("req %d finished", rid)
+        return counts
 
     def step(self) -> Dict[int, List[int]]:
         """One engine iteration: admit + prefill new requests, decode all
@@ -633,22 +658,7 @@ class Engine:
             self.stats["decode_time_s"] += time.perf_counter() - t0
             self.stats["decode_steps"] += chunk
             self.stats["decode_slot_steps"] += chunk * len(active)
-            for t in range(out_np.shape[0]):
-                slot_tokens = {}
-                for slot in active:
-                    req = sched.running.get(slot)
-                    if req is None:       # finished earlier in this chunk
-                        continue
-                    tok = int(out_np[t, slot])
-                    slot_tokens[slot] = tok
-                    emitted.setdefault(req.req_id, []).append(tok)
-                if not slot_tokens:
-                    break
-                self.stats["tokens_out"] += len(slot_tokens)
-                self.stats["decode_tokens"] += len(slot_tokens)
-                metrics.inc("engine.tokens_out", len(slot_tokens))
-                for rid in sched.record_tokens(slot_tokens):
-                    get_logger().info("req %d finished", rid)
+            self._emit_tokens(out_np, active, sched, emitted)
             metrics.gauge("engine.active_slots", len(sched.running))
         return emitted
 

@@ -98,10 +98,15 @@ def _engine_mode(args):
                  decode_chunk=args.decode_chunk,
                  speculative_k=args.speculative_k)
     prompts = [[1, 2, 3]] * args.batch
-    eng.generate(prompts, max_new_tokens=8)   # warm compiles
-    eng.stats.update(decode_steps=0, tokens_out=0, decode_time_s=0.0)
-    eng.generate(prompts, max_new_tokens=args.steps)
     from deepgemm_ascend_tpu.utils.logging import metrics as _metrics
+    eng.generate(prompts, max_new_tokens=8)   # warm compiles
+    # Full reset: a missed decode_tokens here inflates tokens_per_s (the
+    # warmup's tokens divided by only the measured run's time), and the
+    # global metrics carry the warmup's spec proposals.
+    eng.stats.update(decode_steps=0, tokens_out=0, decode_time_s=0.0,
+                     decode_tokens=0, decode_slot_steps=0)
+    _metrics.reset()
+    eng.generate(prompts, max_new_tokens=args.steps)
     snap = _metrics.snapshot()
     print(json.dumps({
         "metric": "moe_decode_tokens_per_s", "mode": "engine",
