@@ -42,7 +42,7 @@ wait_for_tpu
 echo "$(date -u +%H:%M:%S) tpu-back" >> $STATE
 
 stage bench 2400 bash -c 'python bench.py > bench_r4_early.json 2> bench_r4_early.log'
-stage instruments 5400 bash -c 'bash scripts/post_sweep_r4.sh >> post_sweep_r4.log 2>&1'
+stage instruments 9000 bash -c 'bash scripts/post_sweep_r4.sh >> post_sweep_r4.log 2>&1'
 # Straggler-targeted resumes (cheap: config-keyed resume only measures the
 # NEW ec/XLA candidates) — early so the named sub-85% rows get their fix
 # candidates measured even if a later stage loses the tunnel.
