@@ -296,6 +296,35 @@ void dga_cache_set(const char* key, const Config* cfg, int32_t persist) {
 
 int64_t dga_cache_size() { return TilingCache::Instance().Size(); }
 
-int32_t dga_abi_version() { return 2; }
+// Padding cost model — mask-in-kernel vs pre-pad-K argmin, mirroring
+// tiling/padding.py::get_padding_tag exactly (same 3-VPU-ops/element
+// masking estimate and HBM read+write pad-copy traffic; ≙ the reference's
+// GetPaddingTag argmin, select_kernel.cpp:82-268). Returns the tag
+// (0 NONE, 1 PAD_K) and writes both costs for observability.
+int32_t dga_padding_tag(int64_t m, int64_t n, int64_t k, int64_t bm,
+                        int64_t bn, int64_t bk, int32_t a_item,
+                        int32_t b_item, double vpu_tops, double hbm_gbps,
+                        int64_t calls_amortized, double* mask_s,
+                        double* pad_s) {
+  double ms = 0.0, ps = 0.0;
+  if (k % bk != 0) {
+    const int64_t nm = ceil_div(m, bm), nn = ceil_div(n, bn),
+                  nk = ceil_div(k, bk);
+    const double ops = 3.0 * static_cast<double>(bm * bk + bk * bn);
+    ms = static_cast<double>(nm * nn * nk) * ops / (vpu_tops * 1e12);
+    const int64_t kp = round_up(k, bk);
+    const double bytes =
+        static_cast<double>(m) * static_cast<double>(k + kp) * a_item +
+        static_cast<double>(n) * static_cast<double>(k + kp) * b_item;
+    ps = bytes / (hbm_gbps * 1e9);
+  }
+  if (mask_s) *mask_s = ms;
+  if (pad_s) *pad_s = ps;
+  const double ca = static_cast<double>(
+      calls_amortized > 1 ? calls_amortized : 1);
+  return (ms * ca > ps && ps > 0.0) ? 1 : 0;
+}
+
+int32_t dga_abi_version() { return 3; }
 
 }  // extern "C"

@@ -34,6 +34,9 @@ void dga_cache_init(const char*);
 int32_t dga_cache_get(const char*, Config*);
 void dga_cache_set(const char*, const Config*, int32_t);
 int64_t dga_cache_size();
+int32_t dga_padding_tag(int64_t, int64_t, int64_t, int64_t, int64_t,
+                        int64_t, int32_t, int32_t, double, double, int64_t,
+                        double*, double*);
 int32_t dga_abi_version();
 }
 
@@ -154,12 +157,30 @@ static void test_cache_roundtrip(const char* path) {
   std::remove(path);
 }
 
+static void test_padding_tag() {
+  double ms = 0, ps = 0;
+  // aligned K: zero costs, NONE
+  CHECK(dga_padding_tag(512, 512, 512, 128, 128, 128, 2, 2, 4.0, 819.0, 1,
+                        &ms, &ps) == 0);
+  CHECK(ms == 0.0 && ps == 0.0);
+  // ragged K, single call: one-time pad copy beats nothing to amortize
+  // only when masking outweighs it; amortized over many calls PAD_K wins
+  int32_t once = dga_padding_tag(4096, 4096, 7000, 256, 256, 512, 2, 2,
+                                 4.0, 819.0, 1, &ms, &ps);
+  int32_t many = dga_padding_tag(4096, 4096, 7000, 256, 256, 512, 2, 2,
+                                 4.0, 819.0, 100000, nullptr, nullptr);
+  CHECK(ms > 0.0 && ps > 0.0);
+  CHECK(many == 1);
+  CHECK(once == 0 || once == 1);  // device-constant dependent; just legal
+}
+
 int main(int argc, char** argv) {
-  CHECK(dga_abi_version() == 2);
+  CHECK(dga_abi_version() == 3);
   test_footprint();
   test_estimate_time();
   test_select_config_legal();
   test_kernel_type_chain();
+  test_padding_tag();
   test_cache_roundtrip(argc > 1 ? argv[1] : "/tmp/dga_core_test_cache.csv");
   if (g_failures) {
     std::fprintf(stderr, "%d failure(s)\n", g_failures);

@@ -20,7 +20,7 @@ import threading
 from typing import Optional
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "dga_core.cpp")
-_ABI = 2
+_ABI = 3
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -109,8 +109,31 @@ def load() -> Optional[ctypes.CDLL]:
                                       ctypes.POINTER(NativeConfig),
                                       ctypes.c_int32]
         lib.dga_cache_size.restype = ctypes.c_int64
+        lib.dga_padding_tag.restype = ctypes.c_int32
+        lib.dga_padding_tag.argtypes = (
+            [ctypes.c_int64] * 6 + [ctypes.c_int32] * 2
+            + [ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+               ctypes.POINTER(ctypes.c_double),
+               ctypes.POINTER(ctypes.c_double)])
         _lib = lib
         return _lib
+
+
+def padding_tag_native(m: int, n: int, k: int, bm: int, bn: int, bk: int,
+                       a_item: int, b_item: int, vpu_tops: float,
+                       hbm_gbps: float, calls_amortized: int = 1):
+    """Native mask-vs-pad K-tail decision; None if the library is
+    unavailable. Returns (tag int, mask_s, pad_s) — mirrors
+    tiling/padding.py::get_padding_tag (the Python reference)."""
+    lib = load()
+    if lib is None:
+        return None
+    mask_s = ctypes.c_double()
+    pad_s = ctypes.c_double()
+    tag = lib.dga_padding_tag(m, n, k, bm, bn, bk, a_item, b_item,
+                              vpu_tops, hbm_gbps, calls_amortized,
+                              ctypes.byref(mask_s), ctypes.byref(pad_s))
+    return int(tag), float(mask_s.value), float(pad_s.value)
 
 
 def select_config_native(m: int, n: int, k: int, a_item: int, b_item: int,

@@ -121,3 +121,32 @@ def test_native_cpp_unit_suite(tmp_path):
                          capture_output=True, text=True, timeout=60)
     assert res.returncode == 0, res.stderr
     assert "all checks passed" in res.stdout
+
+
+def test_native_padding_tag_matches_python():
+    """C++ padding decision must be EXACTLY the Python reference
+    (tiling/padding.py::get_padding_tag) — same costs, same argmin."""
+    from deepgemm_ascend_tpu.tiling import padding as pad
+
+    info = platform.detect()
+    cases = [
+        # aligned K → NONE with zero costs
+        (512, 512, 512, 128, 128, 128, 2, 2, 1),
+        # ragged K, one call → masking usually cheaper
+        (512, 512, 640, 128, 128, 256, 2, 2, 1),
+        # ragged K, weights reused many times → padding amortizes
+        (4096, 4096, 7000, 256, 256, 512, 2, 2, 10_000),
+        (64, 24576, 1530, 64, 1024, 512, 1, 1, 1),
+        (1279, 5003, 7681, 256, 128, 1024, 2, 2, 64),
+    ]
+    for m, n, k, bm, bn, bk, a_i, b_i, calls in cases:
+        got = native.padding_tag_native(
+            m, n, k, bm, bn, bk, a_i, b_i, info.vpu_tops, info.hbm_gbps,
+            calls)
+        assert got is not None
+        tag, mask_s, pad_s = got
+        want = pad.get_padding_tag(m, n, k, bm, bn, bk, a_i, b_i, info,
+                                   calls_amortized=calls)
+        assert tag == int(want.tag), (tag, want)
+        assert mask_s == pytest.approx(want.mask_s, rel=1e-12)
+        assert pad_s == pytest.approx(want.pad_s, rel=1e-12)
