@@ -187,3 +187,23 @@ def test_bench_retry_policy_all_failed_is_structured(capsys):
     import json as _json
     line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and line["value"] == 0.0 and "error" in line
+
+
+def test_instruments_to_md_idempotent(tmp_path):
+    """The BENCHMARKS instrument block must render PENDING without logs
+    and rewrite in place (exactly one marker pair) on re-runs."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "instruments_to_md",
+        os.path.join(SCRIPTS, "instruments_to_md.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "B.md"
+    out.write_text("# header\n\nbody\n")
+    mod.main(["--out", str(out)])
+    txt1 = out.read_text()
+    assert txt1.count(mod.START) == 1 and txt1.count(mod.END) == 1
+    assert "PENDING" in txt1 and txt1.startswith("# header")
+    mod.main(["--out", str(out)])
+    txt2 = out.read_text()
+    assert txt2.count(mod.START) == 1 and txt2.count(mod.END) == 1
