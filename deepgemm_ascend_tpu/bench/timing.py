@@ -55,6 +55,32 @@ def _rpc_floor() -> float:
     return sorted(ts)[len(ts) // 2]
 
 
+def build_chain(fn: Callable, perturb: Callable, n: int) -> Callable:
+    """The jitted n-iteration dependent chain ``time_fn`` measures.
+
+    Exposed so tests can compile it and assert the compiled cost: every
+    perturb taps a tiny slice of the output, and for a TRANSPARENT fn
+    (the XLA kernel family, ``jnp.dot`` baselines) XLA's algebraic
+    simplifier would otherwise push the slice into the dot —
+    ``slice(dot(a, b)) → dot(a[:1], b[:, :1])`` — timing a 1-element
+    GEMM (observed: bf16 prime-shape XLA dot reported "5795% of light
+    speed"). The ``optimization_barrier`` pins fn's FULL output before
+    the tap; Pallas calls are opaque so their timings are unchanged, and
+    the barrier is free either way.
+    """
+    @jax.jit
+    def run(*a):
+        x0 = a[0]
+
+        def body(x, _):
+            out = jax.lax.optimization_barrier(fn(x, *a[1:]))
+            return perturb(out, x0), jnp.float32(0)
+
+        x_final, _ = jax.lax.scan(body, x0, None, length=n)
+        return jnp.sum(jnp.asarray(x_final, jnp.float32))
+    return run
+
+
 def time_fn(
     fn: Callable,
     args: Sequence[jax.Array],
@@ -90,17 +116,7 @@ def time_fn(
         perturb = perturb_default
 
     def build(n):
-        @jax.jit
-        def run(*a):
-            x0 = a[0]
-
-            def body(x, _):
-                out = fn(x, *a[1:])
-                return perturb(out, x0), jnp.float32(0)
-
-            x_final, _ = jax.lax.scan(body, x0, None, length=n)
-            return jnp.sum(jnp.asarray(x_final, jnp.float32))
-        return run
+        return build_chain(fn, perturb, n)
 
     run = build(iters)
     float(run(*args))  # warm: compile + first execution

@@ -231,3 +231,45 @@ def test_xla_config_dict_roundtrip():
     assert d["kernel_type"] == 3
     back = GemmConfig.from_dict(d)
     assert back == XCFG and back.kernel_type == KernelType.XLA
+
+
+# ------------------------------------------------- timing-chain integrity
+def test_timing_chain_keeps_full_gemm_flops():
+    """The timing harness must not let XLA shrink a transparent GEMM.
+
+    ``time_gemm_like`` taps ``out[:1, :1]`` to chain iterations; without
+    the optimization_barrier in ``build_chain`` the algebraic simplifier
+    rewrites slice(dot(a, b)) → dot(a[:1, :], b[:, :1]) and the harness
+    times a 1-element GEMM (observed on-chip: a bf16 prime-shape XLA dot
+    reporting 5795% of light speed). Compile the REAL chain on CPU and
+    assert the compiled cost still carries the full m·n·k work per
+    iteration.
+    """
+    import jax
+
+    from deepgemm_ascend_tpu.bench import timing
+
+    m = n = k = 128
+    iters = 4
+    a = jnp.zeros((m, k), jnp.bfloat16)
+    b = jnp.zeros((k, n), jnp.bfloat16)
+
+    def xla_dot(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    def perturb(out, a0):  # the time_gemm_like corner tap
+        tap = jax.lax.convert_element_type(
+            jnp.sum(out[:1, :1]), jnp.float32) * jnp.float32(1e-30)
+        return a0 + tap.astype(a0.dtype)
+
+    run = timing.build_chain(lambda x, y: xla_dot(x, y), perturb, iters)
+    compiled = jax.jit(run).lower(a, b).compile()
+    analyses = compiled.cost_analysis()
+    analysis = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+    flops = float(analysis.get("flops", 0.0))
+    # cost_analysis counts the while-loop BODY once (not ×trip-count):
+    # one full GEMM is 2·m·n·k = 4.19e6 flops; the sliced/eliminated bug
+    # compiles to ~4.9e4 (measured both ways on this rig).
+    assert flops >= 0.9 * 2 * m * n * k, (
+        f"timing chain compiled to {flops:.3e} flops per scan body — the "
+        f"GEMM was sliced/eliminated (expected ≥ {2 * m * n * k:.3e})")
