@@ -148,6 +148,17 @@ def time_fn(
                   iters=iters)
 
 
+def _gemm_tap_perturb(out: jax.Array, a0: jax.Array) -> jax.Array:
+    """The corner tap ``time_gemm_like`` chains iterations with.
+
+    Module-level (not a closure) so tests exercising the timing path can
+    compile the REAL tap rather than a copy that could drift.
+    """
+    tap = jax.lax.convert_element_type(
+        jnp.sum(out[:1, :1]), jnp.float32) * jnp.float32(1e-30)
+    return a0 + tap.astype(a0.dtype)
+
+
 def time_gemm_like(
     fn: Callable,
     a: jax.Array,
@@ -158,10 +169,6 @@ def time_gemm_like(
 ) -> Timing:
     """Time a GEMM-shaped ``fn(a, *rest) -> (m, n)`` by chaining a scalar
     tap of the output back into ``a`` (keeps dtype/shape of ``a``)."""
-    def perturb(out, a0):
-        tap = jax.lax.convert_element_type(
-            jnp.sum(out[:1, :1]), jnp.float32) * jnp.float32(1e-30)
-        return a0 + tap.astype(a0.dtype)
-
     return time_fn(fn, (a, *rest), iters=iters, repeats=repeats,
-                   perturb=perturb, min_chain_seconds=min_chain_seconds)
+                   perturb=_gemm_tap_perturb,
+                   min_chain_seconds=min_chain_seconds)

@@ -187,6 +187,17 @@ def int8_gemm(
     """
     m, k = a_q.shape
     n = b_q.shape[1]
+    from . import fp8_gemm as fp8mod
+    if fp8mod.exact_enabled():
+        # Exact emulated-dequant golden (fp8mod.exact_mode()), the int8
+        # counterpart of the fp8 exact path: dequantize both operands to
+        # f32 and matmul at HIGHEST precision. Differs from the kernel
+        # (exact int32 K-sum, one f32 epilogue multiply) only by f32
+        # summation rounding.
+        a = a_q.astype(jnp.float32) * a_scales.astype(jnp.float32)
+        b = b_q.astype(jnp.float32) * b_scales.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(out_dtype)
     cfg = selector.select_config(m, n, k, a_q.dtype, out_dtype,
                                  op="int8_gemm", override=config)
     return int8_gemm_with_config(
@@ -310,6 +321,27 @@ def m_grouped_int8_gemm_contiguous(
     if b_scales.shape != (e, 1, n):
         raise ValueError(
             f"b_scales must be {(e, 1, n)}, got {b_scales.shape}")
+    from . import fp8_gemm as fp8mod
+    if fp8mod.exact_enabled():
+        # Exact emulated-dequant golden; padding tiles (gid -1) zeroed to
+        # match kernel semantics.
+        n_tiles_ = int(jnp.shape(tile_group_ids)[0])
+        bm_ = m // max(n_tiles_, 1)
+        gids = jnp.asarray(tile_group_ids, jnp.int32)
+        row_gid = jnp.repeat(gids, bm_)                     # (M_total,)
+        a = a_q.astype(jnp.float32) * a_scales.astype(jnp.float32)
+        b = b_q.astype(jnp.float32) * b_scales.astype(jnp.float32)
+
+        def _one_expert(acc, be):
+            eidx, bmat = be
+            ye = jnp.dot(a, bmat, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            return acc + jnp.where((row_gid == eidx)[:, None], ye, 0.0), None
+
+        y, _ = jax.lax.scan(_one_expert,
+                            jnp.zeros((m, b_q.shape[2]), jnp.float32),
+                            (jnp.arange(e, dtype=jnp.int32), b))
+        return y.astype(out_dtype)
     n_tiles = int(jnp.shape(tile_group_ids)[0])
     bm_layout = m // max(n_tiles, 1)
     cfg = selector.select_config(
@@ -449,6 +481,18 @@ def m_grouped_int8_gemm_masked(
     if b_scales.shape != (e, 1, n):
         raise ValueError(
             f"b_scales must be {(e, 1, n)}, got {b_scales.shape}")
+    from . import fp8_gemm as fp8mod
+    if fp8mod.exact_enabled():
+        # Exact emulated-dequant golden (same contract as the fp8 twin,
+        # grouped_gemm.m_grouped_gemm_masked): masked rows zeroed.
+        a = a_q.astype(jnp.float32) * a_scales.astype(jnp.float32)
+        b = b_q.astype(jnp.float32) * b_scales.astype(jnp.float32)
+        y = jnp.einsum("emk,ekn->emn", a, b,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        rows = jnp.arange(m_max)[None, :, None]
+        y = jnp.where(rows < jnp.asarray(masked_m)[:, None, None], y, 0.0)
+        return y.astype(out_dtype)
     cfg = selector.select_config(
         m_max, n, k, a_q.dtype, out_dtype, op="int8_grouped_gemm_masked",
         override=config)

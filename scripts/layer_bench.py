@@ -83,19 +83,27 @@ def main(argv=None) -> int:
         seq_lens = jnp.full((b,), s_len - 2, jnp.int32)
         positions = seq_lens[:, None]
 
-        def layer_step(x, cache_kq, cache_ks, cache_vq, cache_vs):
+        # Weights/caches are ARGUMENTS, not closure captures: closed-over
+        # arrays are embedded in the lowered HLO as constants, and at this
+        # geometry (hundreds of MB of expert weights) the serialized
+        # module exceeded the remote-compile transport's body limit
+        # (observed: HTTP 413 on the tunnel). As parameters only their
+        # shapes enter the program.
+        def layer_step(x, cache_kq, cache_ks, cache_vq, cache_vs,
+                       attn_p, moe_p, norm_p, positions_p, seq_lens_p):
             cache_ = KVCache(cache_kq, cache_ks, cache_vq, cache_vs)
-            h = rms_norm(x, norm, cfg.rms_eps)
-            attn_out, cache2 = attention(attn, h, cache_, positions,
-                                         seq_lens + 1, cfg)
+            h = rms_norm(x, norm_p, cfg.rms_eps)
+            attn_out, cache2 = attention(attn_p, h, cache_, positions_p,
+                                         seq_lens_p + 1, cfg)
             x1 = x + attn_out
-            h2 = rms_norm(x1, norm, cfg.rms_eps)
-            ffn = moe_block(moe, h2.reshape(b, cfg.hidden_size), cfg,
+            h2 = rms_norm(x1, norm_p, cfg.rms_eps)
+            ffn = moe_block(moe_p, h2.reshape(b, cfg.hidden_size), cfg,
                             local_experts=e_local, expert_offset=0)
             return x1 + ffn[:, None, :]
 
         t = timing.time_fn(
-            layer_step, (x, cache.k_q, cache.k_s, cache.v_q, cache.v_s),
+            layer_step, (x, cache.k_q, cache.k_s, cache.v_q, cache.v_s,
+                         attn, moe, norm, positions, seq_lens),
             iters=args.iters, repeats=2,
             min_chain_seconds=args.min_chain)
         ms = t.seconds * 1e3

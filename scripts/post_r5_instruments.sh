@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-5 instrument chain (gated watcher stage: .instruments_r5_ready).
+# Re-runs the instruments whose round-4 results were broken or missing:
+#   - layer_bench: round-4 run died with HTTP 413 (weights were closed
+#     over -> HLO constants -> remote-compile body limit); fixed to pass
+#     params as arguments.
+#   - eval_quality int8: round-4 gate conflated kernel fidelity with the
+#     fp8->int8 re-quantization cost; now separated (quant_* metrics).
+#   - straggler_probe: round-4 XLA-native-dot rows were measured before
+#     the timing-chain optimization_barrier fix and reported absurd
+#     5795% light-speed numbers; re-measure with the fixed harness.
+set -u
+cd "$(dirname "$0")/.."
+run() {  # run <timeout_s> <logfile> <cmd...>
+  local tmo=$1 log=$2; shift 2
+  timeout "$tmo" "$@" > "$log" 2>&1
+  echo "=== $log done (rc=$?) ==="
+}
+run 1500 layer_bench_r5.log        python scripts/layer_bench.py
+run 1500 layer_bench_int8_r5.log   python scripts/layer_bench.py \
+                                       --expert-quant int8
+run 1500 eval_int8_v2lite_r5.log   python scripts/eval_quality.py \
+                                       --model v2_lite --expert-quant int8
+run 1800 straggler_probe_r5.log    python scripts/straggler_probe.py
+run 1200 serve_spec_r5.log         python scripts/serve_bench.py \
+                                       --mode engine --model v2_lite \
+                                       --speculative-k 4

@@ -241,9 +241,10 @@ def test_timing_chain_keeps_full_gemm_flops():
     the optimization_barrier in ``build_chain`` the algebraic simplifier
     rewrites slice(dot(a, b)) → dot(a[:1, :], b[:, :1]) and the harness
     times a 1-element GEMM (observed on-chip: a bf16 prime-shape XLA dot
-    reporting 5795% of light speed). Compile the REAL chain on CPU and
-    assert the compiled cost still carries the full m·n·k work per
-    iteration.
+    reporting 5795% of light speed). Compile the REAL chain — with the
+    REAL ``timing._gemm_tap_perturb`` tap, not an inline copy — on the
+    pinned CPU backend and assert the compiled cost still carries the
+    full m·n·k work per iteration.
     """
     import jax
 
@@ -257,15 +258,16 @@ def test_timing_chain_keeps_full_gemm_flops():
     def xla_dot(x, y):
         return jnp.dot(x, y, preferred_element_type=jnp.float32)
 
-    def perturb(out, a0):  # the time_gemm_like corner tap
-        tap = jax.lax.convert_element_type(
-            jnp.sum(out[:1, :1]), jnp.float32) * jnp.float32(1e-30)
-        return a0 + tap.astype(a0.dtype)
-
-    run = timing.build_chain(lambda x, y: xla_dot(x, y), perturb, iters)
-    compiled = jax.jit(run).lower(a, b).compile()
+    run = timing.build_chain(
+        lambda x, y: xla_dot(x, y), timing._gemm_tap_perturb, iters)
+    # Pin the backend: cost_analysis() availability/shape varies per
+    # backend, and the flop accounting asserted below was measured on CPU.
+    compiled = jax.jit(run, backend="cpu").lower(a, b).compile()
     analyses = compiled.cost_analysis()
     analysis = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+    if analysis is None or "flops" not in analysis:
+        import pytest
+        pytest.skip("cost_analysis() has no 'flops' on this backend")
     flops = float(analysis.get("flops", 0.0))
     # cost_analysis counts the while-loop BODY once (not ×trip-count):
     # one full GEMM is 2·m·n·k = 4.19e6 flops; the sliced/eliminated bug
