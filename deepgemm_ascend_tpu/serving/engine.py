@@ -212,6 +212,7 @@ class Engine:
         seed: int = 0,
         prefix_cache_slots: int = 0,
         speculative_k: int = 0,
+        draft_fn=None,
     ):
         """``decode_chunk``: decode N tokens per engine iteration in ONE
         device dispatch (lax.scan with in-graph sampling). Amortizes the
@@ -261,6 +262,13 @@ class Engine:
                 raise ValueError(f"speculative_k must be < the verify "
                                  f"window {_VERIFY_WINDOW}")
             self._verify_fn = _jitted_verify(cfg, self.spec_k)
+        # Drafting is pluggable: ``draft_fn(slot, hist, k) -> k tokens``.
+        # Default: prompt-lookup n-gram drafting (slot ignored). Benches
+        # use an oracle draft_fn to measure the verify machinery's
+        # ceiling independently of text-dependent accept rates.
+        self._draft_fn = (draft_fn if draft_fn is not None else
+                          (lambda slot, hist, k:
+                           _draft_prompt_lookup(hist, k)))
 
         self._decode_sampled = None
         if mesh is not None:
@@ -454,7 +462,7 @@ class Engine:
             req = sched.running[slot]
             hist = list(req.prompt) + list(req.output)
             toks[slot, 0] = last_np[slot]
-            toks[slot, 1:k + 1] = _draft_prompt_lookup(hist, k)
+            toks[slot, 1:k + 1] = self._draft_fn(slot, hist, k)
 
         t0 = time.perf_counter()
         # Inactive slots run at lens 0: their rows 0..k are scribbled but

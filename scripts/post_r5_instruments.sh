@@ -25,3 +25,10 @@ run 1800 straggler_probe_r5.log    python scripts/straggler_probe.py
 run 1200 serve_spec_r5.log         python scripts/serve_bench.py \
                                        --mode engine --model v2_lite \
                                        --speculative-k 4
+run 1500 serve_spec_oracle_r5.log  python scripts/serve_bench.py \
+                                       --mode engine --model v2_lite \
+                                       --speculative-k 4 --spec-oracle
+# serve-prefix retry: the direct watcher stage died on a transient
+# remote-compile helper crash (HTTP 500) at 00:12 UTC.
+run 1800 serve_prefix_r5.log       python scripts/serve_bench.py \
+                                       --mode prefix --max-seq 1024

@@ -93,11 +93,37 @@ def _engine_mode(args):
 
     cfg = {"tiny": TINY, "v2_lite": V2_LITE}[args.model]
     params = _params_for(args, cfg)
+    prompts = [[1, 2, 3]] * args.batch
+    draft_fn = None
+    if args.speculative_k and args.spec_oracle:
+        # ORACLE drafting: record each slot's greedy continuation with a
+        # SPEC engine first (so the recording is the verify program's OWN
+        # argmaxes — recording with the plain engine instead measures
+        # 0.17 accept on chip, because the plain flash-decode kernel and
+        # the verify prefill-window kernel round near-ties differently on
+        # a random-weight model's flat logits), then draft exactly those
+        # tokens. This measures the CEILING of the verify machinery:
+        # tokens/s at best-achievable drafting, independent of the
+        # text-dependent accept rate that prompt-lookup gets (meaningless
+        # on random weights).
+        rec = Engine(params, cfg, max_slots=args.batch,
+                     max_seq_len=args.steps + 16,
+                     speculative_k=args.speculative_k)
+        recorded = rec.generate(prompts, max_new_tokens=args.steps)
+        del rec
+
+        def draft_fn(slot, hist, k, _rec=recorded, _plen=len(prompts[0])):
+            seq = _rec[slot % len(_rec)]
+            pos = len(hist) - _plen
+            cont = list(seq[max(pos, 0):pos + k])
+            pad = cont[-1] if cont else (hist[-1] if hist else 0)
+            return (cont + [pad] * k)[:k]
+
     eng = Engine(params, cfg, max_slots=args.batch,
                  max_seq_len=args.steps + 16,
                  decode_chunk=args.decode_chunk,
-                 speculative_k=args.speculative_k)
-    prompts = [[1, 2, 3]] * args.batch
+                 speculative_k=args.speculative_k,
+                 draft_fn=draft_fn)
     from deepgemm_ascend_tpu.utils.logging import metrics as _metrics
     eng.generate(prompts, max_new_tokens=8)   # warm compiles
     # Full reset: a missed decode_tokens here inflates tokens_per_s (the
@@ -112,6 +138,8 @@ def _engine_mode(args):
         "metric": "moe_decode_tokens_per_s", "mode": "engine",
         "expert_quant": args.expert_quant,
         "speculative_k": args.speculative_k,
+        "spec_drafting": (("oracle" if args.spec_oracle else "prompt_lookup")
+                          if args.speculative_k else None),
         "spec_accept_rate": (
             round(snap.get("engine.spec_accepted", 0)
                   / max(snap.get("engine.spec_proposed", 0), 1), 3)
@@ -339,6 +367,12 @@ def main(argv=None) -> int:
     ap.add_argument("--speculative-k", type=int, default=0,
                     help="engine mode: greedy speculative decoding with k "
                          "prompt-lookup drafts per dispatch (lossless)")
+    ap.add_argument("--spec-oracle", action="store_true",
+                    help="engine mode with --speculative-k: draft the "
+                         "recorded greedy continuation instead of prompt "
+                         "lookup — measures the verify machinery's ceiling "
+                         "(accept rate bounded only by cross-kernel "
+                         "rounding), not the text-dependent accept rate")
     args = ap.parse_args(argv)
     {"scan": _scan_mode, "engine": _engine_mode,
      "scaling": _scaling_mode, "chunksweep": _chunksweep_mode,

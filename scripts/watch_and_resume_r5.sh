@@ -24,13 +24,16 @@ DEADLINE=$((START + ${R5_BUDGET_S:-28800}))   # default 8h of chip chain
 echo "$(date -u +%H:%M:%S) r5-chain-start (deadline +$(((DEADLINE-START)/60))min)" > $STATE
 
 probe() {
-  nice -n 19 timeout 180 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))" >/dev/null 2>&1
+  # 420s, not 180: a healthy-but-congested tunnel has been measured
+  # taking 145s for this trivial dispatch — a tight timeout turns
+  # congestion into a false "tpu-down" verdict.
+  nice -n 19 timeout 420 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))" >/dev/null 2>&1
 }
 
 wait_for_tpu() {
   until probe; do
     echo "$(date -u +%H:%M:%S) tpu-down, waiting" >> $STATE
-    sleep 300
+    sleep 120
     [ $(date +%s) -gt $DEADLINE ] && return 1
   done
   return 0
@@ -69,9 +72,10 @@ instruments_if_ready() {  # run the fixed instruments once, when flagged
   fi
 }
 
-stage sweep-r4f 5400 bash -c 'bash scripts/sweep_queue_r4f.sh >> autotune_results_r4f_queue.log 2>&1'
-stage serve-prefix 2400 bash -c 'python scripts/serve_bench.py --mode prefix --max-seq 1024 > serve_prefix_r4.log 2>&1'
-stage aot-check 2400 bash -c 'python scripts/aot_multichip_check.py --topology v5e:2x4 --model v2_lite --batch 64 --max-seq 2048 --out docs/aot > aot_check_r4.log 2>&1'
+# (first launch 00:04-00:29 completed sweep-r4f + aot-check; serve-prefix
+# died on a transient compile-helper 500 and is retried inside
+# post_r5_instruments.sh. Relaunched here from sweep-r4 with the wider
+# probe timeout.)
 stage sweep-r4 5400 bash -c 'bash scripts/sweep_queue_r4.sh >> autotune_results_r4_queue.log 2>&1'
 instruments_if_ready
 stage sweep-r4b 9000 bash -c 'bash scripts/sweep_queue_r4b.sh >> autotune_results_r4b_queue.log 2>&1'

@@ -86,6 +86,27 @@ def test_spec_requires_greedy_single_device(model):
         Engine(params, cfg, max_slots=1, speculative_k=2, decode_chunk=4)
 
 
+def test_spec_custom_draft_fn_oracle(model):
+    """The pluggable draft_fn hook (serve_bench --spec-oracle uses it):
+    drafting a recorded greedy continuation lands k+1 tokens per dispatch
+    and is still lossless (identical outputs to prompt-lookup drafting —
+    same verify program, only the drafts differ)."""
+    cfg, params = model
+    out_ref, eng_ref = _run(params, cfg, speculative_k=3)
+
+    def oracle(slot, hist, k, _plen=[len(p) for p in PROMPTS]):
+        seq = out_ref[slot % len(out_ref)]
+        pos = len(hist) - _plen[slot % len(_plen)]
+        cont = list(seq[max(pos, 0):pos + k])
+        pad = cont[-1] if cont else (hist[-1] if hist else 0)
+        return (cont + [pad] * k)[:k]
+
+    out_oracle, eng = _run(params, cfg, speculative_k=3, draft_fn=oracle)
+    assert out_oracle == out_ref
+    # perfect drafts need no more dispatches than prompt-lookup drafts
+    assert eng.stats["decode_steps"] <= eng_ref.stats["decode_steps"]
+
+
 def test_draft_prompt_lookup_unit():
     d = engine_mod._draft_prompt_lookup
     # repeated trigram: last [7,8,9] matched earlier → propose what followed
