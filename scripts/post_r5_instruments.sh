@@ -22,6 +22,12 @@ run 1500 layer_bench_int8_r5.log   python scripts/layer_bench.py \
 run 1500 eval_int8_v2lite_r5.log   python scripts/eval_quality.py \
                                        --model v2_lite --expert-quant int8
 run 1800 straggler_probe_r5.log    python scripts/straggler_probe.py
+# Fresh fp8 scan twin of the round-4 int8 scan (6436 tok/s): the fp8
+# comparison point (2769) is a round-2 measurement that predates the
+# flash-prefill block tuning — re-pair them on the same code.
+run 1200 serve_scan_fp8_r5.log     python scripts/serve_bench.py \
+                                       --mode scan --model v2_lite \
+                                       --max-seq 2048
 run 1200 serve_spec_r5.log         python scripts/serve_bench.py \
                                        --mode engine --model v2_lite \
                                        --speculative-k 4
