@@ -163,7 +163,15 @@ def main() -> int:
     # block_k = K lands on the static-scale-slice kernel. iters=256 keeps
     # the ~30 ms RPC floor under 15% of the measured chain (at iters=32 the
     # floor noise dominated and inflated results by up to +30%).
-    candidates = [GemmConfig(1024, 256, 4096), GemmConfig(512, 512, 4096),
+    # Round-5 targeted sweep: the N_MAJOR swizzle twins of the full-K
+    # winners measure ~3% faster (181.7 TF/s = 92.2% at 1024x256x4096
+    # N-major, autotune_results_r3) — lead with them, keep the proven
+    # M-major winners as fallback.
+    from deepgemm_ascend_tpu.config import SwizzleDir
+    NM = SwizzleDir.N_MAJOR
+    candidates = [GemmConfig(1024, 256, 4096, swizzle=NM),
+                  GemmConfig(512, 512, 4096, swizzle=NM),
+                  GemmConfig(1024, 256, 4096), GemmConfig(512, 512, 4096),
                   GemmConfig(256, 1024, 4096), GemmConfig(512, 1024, 2048)]
     # Host-side copies: clear_backends() invalidates every device array,
     # so the retry path must re-upload from host data, not reuse handles

@@ -127,6 +127,46 @@ class Autotuner:
         self._rank, self._world = rank, world
         self._retry_failed = retry_failed
 
+    def _timed_with_watchdog(self, cfg: GemmConfig) -> float:
+        """Run the timing callback under a wall-clock watchdog.
+
+        A hung candidate (observed round 5: one remote compile wedged for
+        18+ minutes and BLOCKED THE DEVICE QUEUE for every other client on
+        the tunnel — killing the process freed it instantly) cannot be
+        cancelled from Python: the thread is blocked inside a C RPC. The
+        only way to release the device is to die, so on timeout the
+        process logs and hard-exits. The in-flight checkpoint was already
+        written (``_mark_in_flight``), so the next resume records this
+        candidate as poisoned and moves on — same discipline as a crashed
+        process (reference ``benchmark.py:256-298``). Queue scripts wrap
+        sweep invocations in a bounded retry for exactly this exit.
+        """
+        import threading
+
+        tmo = float(os.environ.get("DGA_CANDIDATE_TIMEOUT_S", "900"))
+        if tmo <= 0:
+            return self._time(cfg)
+        result: list = []
+
+        def work():
+            try:
+                result.append(("ok", self._time(cfg)))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                result.append(("err", e))
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(tmo)
+        if not result:
+            print(f"[DGA-TPU] autotune: candidate {cfg} exceeded "
+                  f"{tmo:.0f}s watchdog — exiting to free the device "
+                  f"queue (resume marks it poisoned)", flush=True)
+            os._exit(17)
+        kind, val = result[0]
+        if kind == "err":
+            raise val
+        return val
+
     # -- persistence ------------------------------------------------------
     @staticmethod
     def _cfg_key(config: dict) -> str:
@@ -316,9 +356,10 @@ class Autotuner:
             else:
                 self._mark_in_flight(idx, cfg_dict)
                 try:
-                    secs = self._time(cfg)
+                    secs = self._timed_with_watchdog(cfg)
                     if secs < floor_s:
-                        secs = self._time(cfg)  # transient glitch? once more
+                        # transient glitch? once more
+                        secs = self._timed_with_watchdog(cfg)
                     if secs < floor_s:
                         raise RuntimeError(
                             f"implausible timing {secs:.3e}s < light-speed "

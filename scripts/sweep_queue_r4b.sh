@@ -10,7 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
 OUT=autotune_results_r4b
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/4] grouped NT (contiguous + masked), V2-Lite geometry ==="
 $PY scripts/autotune_sweep.py --op grouped_gemm_contiguous_nt --out-dir $OUT \

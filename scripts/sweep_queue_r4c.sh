@@ -11,7 +11,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/2] dense bf16 layout sweeps (nt/tn/tt) ==="
 for op in gemm_nt gemm_tn gemm_tt; do

@@ -8,7 +8,7 @@ set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
 OUT=autotune_results_r4d
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/2] contiguous NT at the r4b new-point spread ==="
 $PY scripts/autotune_sweep.py --op grouped_gemm_contiguous_nt --out-dir $OUT \

@@ -11,7 +11,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/3] fp8_gemm off-prefix (flagship; resume r3 dir) ==="
 $PY scripts/autotune_sweep.py --op fp8_gemm --out-dir autotune_results_r3 \

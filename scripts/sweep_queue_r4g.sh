@@ -9,7 +9,7 @@ set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
 OUT=autotune_results_r4g
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/2] int8 masked at the fp8-swept V2_LITE geometries ==="
 $PY scripts/autotune_sweep.py --op int8_grouped_gemm_masked --out-dir $OUT \

@@ -310,6 +310,55 @@ def test_autotune_crash_resume_poisons_in_flight(tmp_path):
     assert all(c != GemmConfig(256, 256, 256) for c in calls)
 
 
+def test_autotune_candidate_watchdog_exits_and_resume_poisons(tmp_path):
+    """A hung timing callback must hard-exit the process (the only way to
+    free a wedged device queue — observed live round 5) with the
+    in-flight checkpoint on disk, so a retried invocation poisons that
+    candidate and completes the sweep."""
+    import subprocess
+    import sys
+    script = tmp_path / "hang_sweep.py"
+    script.write_text(f"""
+import json, os, sys, time
+sys.path.insert(0, {repr(os.getcwd())})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from deepgemm_ascend_tpu.config import GemmConfig, KernelType
+from deepgemm_ascend_tpu.tiling import autotune
+from deepgemm_ascend_tpu.tiling.cache import TilingCache
+
+def time_fn(cfg):
+    # hang exactly ONE candidate (small shapes get an auto-appended
+    # XLA-family candidate that may share block_m — exclude it)
+    if cfg.block_m == 256 and cfg.kernel_type == KernelType.COMMON:
+        time.sleep(60)        # the wedged candidate
+    return 1.0                # implausibly slow is fine: floor gates FAST
+
+t = autotune.Autotuner(None, time_fn, op="gemm",
+    results_path={repr(str(tmp_path / "r.jsonl"))},
+    checkpoint_path={repr(str(tmp_path / "c.json"))},
+    cache=TilingCache({repr(str(tmp_path / "t.jsonl"))}))
+win = t.sweep_shape(32, 32, 32,
+                    [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256),
+                     GemmConfig(64, 64, 64)])
+print("WINNER", win.block_m)
+""")
+    env = dict(os.environ, DGA_CANDIDATE_TIMEOUT_S="2")
+    p1 = subprocess.run([sys.executable, str(script)], env=env,
+                        capture_output=True, text=True, timeout=120)
+    assert p1.returncode == 17, (p1.returncode, p1.stderr[-500:])
+    assert "watchdog" in p1.stdout
+    # retry: hung candidate is poisoned from the in-flight ckpt, sweep
+    # completes on the survivors
+    p2 = subprocess.run([sys.executable, str(script)], env=env,
+                        capture_output=True, text=True, timeout=120)
+    assert p2.returncode == 0, (p2.returncode, p2.stderr[-500:])
+    assert "WINNER 128" in p2.stdout
+    recs = [json.loads(l) for l in open(tmp_path / "r.jsonl")]
+    poisoned = [r for r in recs if r["config"]["block_m"] == 256]
+    assert poisoned and poisoned[0]["time_s"] < 0
+
+
 def test_autotune_rank_sharding(tmp_path):
     cands = [GemmConfig(128, 128, 128), GemmConfig(256, 256, 256),
              GemmConfig(64, 128, 128), GemmConfig(64, 256, 128)]
