@@ -187,6 +187,7 @@ def moe_block(
     local_experts: Optional[int] = None,
     expert_offset: int = 0,
     axis_name: Optional[str] = None,
+    token_chunk: Optional[int] = None,
 ) -> jax.Array:
     """One MoE FFN over a flat token batch; shape-static under jit.
 
@@ -194,7 +195,66 @@ def moe_block(
     compute to this shard's experts and ``axis_name`` names the mesh axis to
     ``psum`` partial outputs over (routing is computed identically on every
     shard — replicated router weights).
+
+    Large token batches are processed in CHUNKS (``token_chunk``, default
+    ``DGA_MOE_TOKEN_CHUNK`` or 2048): the fixed-shape dispatch buffer is
+    (E_local, T·K, hidden) at worst-case capacity, which is exact for
+    decode-sized T but explodes for batched prefill — a 64-slot
+    1024-token-bucket admission (T = 65 536) compiled to a 48 GB
+    broadcast and OOM'd the chip (measured round 5, serve_bench --mode
+    prefix). Every routed-expert quantity is per-token, so an exact
+    ``lax.scan`` over token chunks bounds the buffer at (E, chunk·K,
+    hidden) with identical results. An explicit ``capacity`` disables
+    chunking (the caller owns the shape).
     """
+    import os as _os
+
+    t, hidden = x.shape
+    tc = (token_chunk if token_chunk is not None
+          else int(_os.environ.get("DGA_MOE_TOKEN_CHUNK", "2048")))
+    if capacity is None and tc and t > tc:
+        # largest divisor of t that fits the chunk budget; tiny divisors
+        # (awkward t) fall through to the unchunked path
+        d = max((c for c in range(1, tc + 1) if t % c == 0), default=t)
+        if d >= 256:
+            def body(_, xc):
+                return None, _moe_routed(
+                    params, xc, cfg, capacity=None,
+                    gemm_config=gemm_config, local_experts=local_experts,
+                    expert_offset=expert_offset)
+            _, ys = jax.lax.scan(body, None, x.reshape(t // d, d, hidden))
+            out = ys.reshape(t, hidden)
+        else:
+            out = _moe_routed(params, x, cfg, capacity=None,
+                              gemm_config=gemm_config,
+                              local_experts=local_experts,
+                              expert_offset=expert_offset)
+    else:
+        out = _moe_routed(params, x, cfg, capacity=capacity,
+                          gemm_config=gemm_config,
+                          local_experts=local_experts,
+                          expert_offset=expert_offset)
+
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+
+    if params.shared_w1 is not None:
+        sh = _swiglu(params.shared_w1(x))
+        out = out + params.shared_w2(sh).astype(jnp.float32)
+    return out.astype(jnp.bfloat16)
+
+
+def _moe_routed(
+    params: MoEParams,
+    x: jax.Array,
+    cfg: ModelConfig,
+    *,
+    capacity: Optional[int],
+    gemm_config: Optional[GemmConfig],
+    local_experts: Optional[int],
+    expert_offset: int,
+) -> jax.Array:
+    """The routed-expert computation for one token block → (t, hidden) f32."""
     t, hidden = x.shape
     e_total = cfg.num_experts
     e_local = local_experts or e_total
@@ -242,12 +302,4 @@ def moe_block(
     gathered = y[e_safe.reshape(-1), slot_safe.reshape(-1)]     # (T·K, h)
     gathered = jnp.where(in_shard.reshape(-1, 1), gathered, 0)
     gathered = gathered.reshape(t, cfg.top_k, hidden).astype(jnp.float32)
-    out = jnp.sum(gathered * weights[:, :, None], axis=1)
-
-    if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-
-    if params.shared_w1 is not None:
-        sh = _swiglu(params.shared_w1(x))
-        out = out + params.shared_w2(sh).astype(jnp.float32)
-    return out.astype(jnp.bfloat16)
+    return jnp.sum(gathered * weights[:, :, None], axis=1)

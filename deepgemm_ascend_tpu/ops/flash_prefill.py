@@ -220,8 +220,19 @@ def flash_prefill_gqa(
     # boundaries — bq % 16 keeps every group's rows tile-aligned and
     # guarantees ≥ 16 rows). No such block → the caller must use the XLA
     # path (attention() gates on s % 16 == 0 and never hits this).
+    #
+    # GQA VMEM clamp: the kernel's scoped VMEM scales with the COLLAPSED
+    # row count g·bq (acc/m/l scratch, q and out blocks all carry g·bq
+    # rows). The tuned (512, 2048) default was measured at g=1; at g=4 it
+    # compiles to an 18.1 MB scoped allocation against the 16 MB budget
+    # (measured round 5: serve_bench --mode prefix, V2_LITE GQA). Cap
+    # g·bq·hd at 1024·128 f32-rows — the largest empirically-compiling
+    # point — so grouped-head geometries degrade to smaller q blocks
+    # instead of failing to compile.
+    row_cap = max(16, (1024 * 128 // hd) // g)
     bq = 0
-    for cand in range(min((block_q // 16) * 16, (s // 16) * 16), 0, -16):
+    for cand in range(min((block_q // 16) * 16, (s // 16) * 16,
+                          (row_cap // 16) * 16), 0, -16):
         if s % cand == 0:
             bq = cand
             break

@@ -73,18 +73,23 @@ def xla_candidate_ok(op: str, m: int, n: int, k: int,
     """Admit the XLA-family candidate (config.py ``KernelType.XLA``)?
 
     Only ops with an XLA realization (dense + masked grouped; the ragged
-    contiguous layout has none), only in the dispatch-floor-bound small-
-    shape regime where skipping the Pallas prologue can win (VERDICT r3
-    item 4 straggler rows), and only while the fp8/masked blocked
-    realization's (kb, m, n) f32 partial stays modest.
+    contiguous layout has none). For the BLOCK-SCALED ops (fp8, masked
+    grouped) the XLA realization materializes a (kb, m, n) f32 partial,
+    so it is admitted only in the dispatch-floor-bound small-shape regime
+    while that partial stays modest. For the PLAIN dense family (bf16 any
+    layout, W8A8 int8 — no blocked-scale plumbing, the XLA dot is the
+    identical contraction) it is admitted at EVERY size: round 5's fixed
+    timing chain measured XLA's native bf16 emitter at 98.1% of peak on
+    4096^3 and 85-92% on the prime-shape stragglers — ahead of the best
+    Pallas configs — so it must always compete as the one extra candidate.
     """
     if "grouped" in op and "masked" not in op:
         # contiguous layout (runtime keys grouped_gemm / grouped_gemm_nt,
         # sweep-script names grouped_gemm_contiguous*) — no XLA realization
         return False
-    if 2.0 * m * n * k * flops_scale > _XLA_FLOPS_CEILING:
-        return False
     if op.startswith(("fp8_gemm", "grouped_gemm_masked")):
+        if 2.0 * m * n * k * flops_scale > _XLA_FLOPS_CEILING:
+            return False
         return (flops_scale * (k // 128) * m * n * 4
                 <= _XLA_PARTIAL_BYTES_CEILING)
     return True
