@@ -213,22 +213,23 @@ def moe_block(
     tc = (token_chunk if token_chunk is not None
           else int(_os.environ.get("DGA_MOE_TOKEN_CHUNK", "2048")))
     if capacity is None and tc and t > tc:
-        # largest divisor of t that fits the chunk budget; tiny divisors
-        # (awkward t) fall through to the unchunked path
-        d = max((c for c in range(1, tc + 1) if t % c == 0), default=t)
-        if d >= 256:
-            def body(_, xc):
-                return None, _moe_routed(
-                    params, xc, cfg, capacity=None,
-                    gemm_config=gemm_config, local_experts=local_experts,
-                    expert_offset=expert_offset)
-            _, ys = jax.lax.scan(body, None, x.reshape(t // d, d, hidden))
-            out = ys.reshape(t, hidden)
-        else:
-            out = _moe_routed(params, x, cfg, capacity=None,
-                              gemm_config=gemm_config,
-                              local_experts=local_experts,
-                              expert_offset=expert_offset)
+        # Pad T up to a chunk multiple rather than hunting for divisors:
+        # an awkward T (e.g. a 5003-token prime prefill) must still chunk,
+        # or the worst-case buffer comes back (review round 5). Pad rows
+        # are zeros — they route and occupy slots within their own chunk
+        # (capacity tc·K covers every row) and their outputs are sliced
+        # away; real rows are untouched.
+        nc = -(-t // tc)
+        pad = nc * tc - t
+        xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+        def body(_, xc):
+            return None, _moe_routed(
+                params, xc, cfg, capacity=None,
+                gemm_config=gemm_config, local_experts=local_experts,
+                expert_offset=expert_offset)
+        _, ys = jax.lax.scan(body, None, xp.reshape(nc, tc, hidden))
+        out = ys.reshape(nc * tc, hidden)[:t]
     else:
         out = _moe_routed(params, x, cfg, capacity=capacity,
                           gemm_config=gemm_config,

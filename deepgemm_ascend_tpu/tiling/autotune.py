@@ -148,7 +148,14 @@ class Autotuner:
         """
         import threading
 
-        tmo = float(os.environ.get("DGA_CANDIDATE_TIMEOUT_S", "900"))
+        # Default 1800s, not 900: a healthy-but-congested tunnel measures
+        # 145s for a trivial dispatch, and a large-shape candidate's
+        # compile + adaptive-chain growth + repeats can legitimately run
+        # long — a too-tight watchdog permanently poisons a potentially
+        # winning config (resume records time_s=-1; --retry-poisoned is
+        # the recovery path). 1800s still bounds a genuine wedge to half
+        # an hour instead of a lost chip day.
+        tmo = float(os.environ.get("DGA_CANDIDATE_TIMEOUT_S", "1800"))
         if tmo <= 0:
             return self._time(cfg)
         result: list = []

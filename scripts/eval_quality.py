@@ -217,22 +217,21 @@ def main(argv=None) -> int:
         out["control_fp8_ppl_rel_delta"] = control_ppl_delta
     if logit_q is not None:
         # exact-quantized vs exact-fp8: the pure re-quantization cost.
-        p_q = softmax(logit_q)
+        # p_qx/ppl_qx were already computed for the control block above —
+        # reuse them (review round 5: this stanza previously recomputed
+        # the identical softmax/nll pass under different names).
         agree_q = (logit_e.argmax(-1) == logit_q.argmax(-1))
-        part_q = np.partition(p_q, -2, axis=-1)
+        part_q = np.partition(p_qx, -2, axis=-1)
         margin_q = part_q[..., -1] - part_q[..., -2]
-        kl_q = np.sum(p_q * (np.log(p_q + 1e-12) - np.log(p_e + 1e-12)),
+        kl_q = np.sum(p_qx * (np.log(p_qx + 1e-12) - np.log(p_e + 1e-12)),
                       axis=-1)
-        nll_q = np.stack([-np.log(p_q[t, b_idx, toks_k[:, t]] + 1e-12)
-                          for t in range(args.steps)])
-        ppl_q = float(np.exp(nll_q.mean()))
         out.update({
             "quant_top1_agreement": float(agree_q.mean()),
             "quant_confident_disagreements": int(
                 ((~agree_q) & (margin_q > 0.05)).sum()),
             "quant_mean_kl": float(kl_q.mean()),
-            "quant_ppl_rel_delta": (abs(ppl_e - ppl_q) / ppl_q
-                                    if ppl_q > 0 else 0.0),
+            "quant_ppl_rel_delta": (abs(ppl_e - ppl_qx) / ppl_qx
+                                    if ppl_qx > 0 else 0.0),
             # Re-quantization gate (informational in `ok`-style form): the
             # quant recipe must not confidently flip tokens; KL/ppl drift
             # is the price of the 2x int8 rate and is reported, not gated.

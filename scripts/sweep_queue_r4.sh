@@ -7,7 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
 OUT=autotune_results_r4
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/1] fp8 NT dynamic-M completion (22 shapes) ==="
 $PY scripts/autotune_sweep.py --op fp8_gemm_nt --out-dir $OUT \

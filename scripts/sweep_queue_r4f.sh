@@ -9,7 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 export DGA_KERNEL_CACHE_DIR="${DGA_KERNEL_CACHE_DIR:-/root/repo/.xla_cache}"
-PY=python
+PY="bash scripts/py_retry.sh"
 
 echo "=== [1/3] masked 66.5% row + twin (resume r3c: ec + XLA) ==="
 $PY scripts/autotune_sweep.py --op grouped_gemm_masked \

@@ -83,6 +83,21 @@ def main(argv=None) -> int:
         ],
     }
 
+    def load_prior(path):
+        """Deduped configs already recorded in a results file (replayed by
+        config-keyed resume; keeps the winner computation over ALL
+        records, not just the new extras)."""
+        import json
+        prior, seen = [], set()
+        if os.path.exists(path):
+            for line in open(path):
+                r = json.loads(line)
+                key = autotune.Autotuner._cfg_key(r["config"])
+                if key not in seen:
+                    seen.add(key)
+                    prior.append(GemmConfig.from_dict(r["config"]))
+        return prior
+
     for (m, n, k), extra in targets.items():
         a = jnp.asarray(golden.gen_heavy_tail((m, k), seed=0), jnp.bfloat16)
         b = jnp.asarray(golden.gen_heavy_tail((k, n), seed=1), jnp.bfloat16)
@@ -94,18 +109,9 @@ def main(argv=None) -> int:
             return t.seconds
 
         # Resume the ORIGINAL r3 files: replayed prefix + new candidates.
-        import json
         tag = f"gemm_{m}x{n}x{k}_r0"
         path = os.path.join(out_dir, f"{tag}.jsonl")
-        prior = []
-        if os.path.exists(path):
-            seen = set()
-            for line in open(path):
-                r = json.loads(line)
-                key = autotune.Autotuner._cfg_key(r["config"])
-                if key not in seen:
-                    seen.add(key)
-                    prior.append(GemmConfig.from_dict(r["config"]))
+        prior = load_prior(path)
         cands = prior + [c for c in extra if c not in prior]
         tuner = autotune.Autotuner(
             None, time_fn, op="gemm",
@@ -134,18 +140,9 @@ def main(argv=None) -> int:
                                       min_chain_seconds=0.25)
             return t.seconds
 
-        import json
         tag = f"fp8_gemm_{m}x{n}x{k}_r0"
         path = os.path.join(out_dir, f"{tag}.jsonl")
-        prior = []
-        if os.path.exists(path):
-            seen = set()
-            for line in open(path):
-                r = json.loads(line)
-                key = autotune.Autotuner._cfg_key(r["config"])
-                if key not in seen:
-                    seen.add(key)
-                    prior.append(GemmConfig.from_dict(r["config"]))
+        prior = load_prior(path)
         cands = prior + [c for c in extra if c not in prior]
         tuner = autotune.Autotuner(
             None, time_fn, op="fp8_gemm",

@@ -54,13 +54,22 @@ def test_moe_block_token_chunking_matches():
     x = (jax.random.normal(jax.random.PRNGKey(2), (t, cfg.hidden_size),
                            jnp.float32) * 0.5).astype(jnp.bfloat16)
     full = np.asarray(moe_block(params, x, cfg, token_chunk=0), np.float32)
-    # 256 = the smallest chunk the divisor guard admits -> 2 chunks
     chunked = np.asarray(moe_block(params, x, cfg, token_chunk=256),
                          np.float32)
     np.testing.assert_allclose(chunked, full, rtol=0.05, atol=0.05)
     # bulk agreement: the outlier-ratio form of the acceptance gate
     close = np.isclose(chunked, full, rtol=2e-2, atol=2e-2)
     assert close.mean() > 0.999, close.mean()
+    # ragged T (no divisor): pads to a chunk multiple, slices back — the
+    # review-found fallback-to-unchunked hole
+    t2 = 500
+    x2 = x[:t2]
+    full2 = np.asarray(moe_block(params, x2, cfg, token_chunk=0), np.float32)
+    chunk2 = np.asarray(moe_block(params, x2, cfg, token_chunk=256),
+                        np.float32)
+    assert chunk2.shape == full2.shape
+    close2 = np.isclose(chunk2, full2, rtol=2e-2, atol=2e-2)
+    assert close2.mean() > 0.999, close2.mean()
 
 
 def test_moe_block_matches_dense_reference():

@@ -207,3 +207,39 @@ def test_instruments_to_md_idempotent(tmp_path):
     mod.main(["--out", str(out)])
     txt2 = out.read_text()
     assert txt2.count(mod.START) == 1 and txt2.count(mod.END) == 1
+
+
+def test_instruments_merge_prior_keeps_history_and_sentinels(tmp_path):
+    """merge_prior invariants (review round 5): (1) a measured prior
+    block survives a PENDING re-render — including the LAST block, whose
+    substitution used to drop the END sentinel and corrupt the marker
+    pair for every later fold; (2) a block with fresh measured rows keeps
+    them even when a sibling sub-table in the same block is PENDING."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "instruments_to_md",
+        os.path.join(SCRIPTS, "instruments_to_md.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    S, E = mod.START, mod.END
+    prior = "\n".join([
+        S, "## Instruments", "",
+        "### Alpha", "", "| a |", "|---|", "| 1 |", "",
+        "### Omega", "", "| z |", "|---|", "| 9 |", "",
+        E])
+    # fresh render: Alpha has a real table + a PENDING sub-table; Omega
+    # (the LAST block) is fully PENDING
+    fresh = "\n".join([
+        S, "## Instruments", "",
+        "### Alpha", "", "| a |", "|---|", "| 2 |", "",
+        "PENDING (no oracle log)", "",
+        "### Omega", "", "PENDING (no log)", "",
+        E])
+    merged = mod.merge_prior(fresh, prior)
+    assert merged.count(E) == 1 and merged.rstrip().endswith(E)
+    assert "| 2 |" in merged          # fresh rows kept despite PENDING sibling
+    assert "| 9 |" in merged          # last block backfilled from prior
+    assert "PENDING (no log)" not in merged
+    # re-merging the merged doc is stable and keeps exactly one pair
+    again = mod.merge_prior(merged, merged)
+    assert again.count(E) == 1 and again.count(S) == 1
